@@ -14,9 +14,41 @@ object Functions {
   def extract_turn(c: Column): Column =
     ColumnBridge.column(ExtractTurn(ColumnBridge.expression(c)))
 
+  def minhash_sig(c: Column): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c)))
+  def minhash_bands(c: Column): Column =
+    ColumnBridge.column(MinHashBands(ColumnBridge.expression(c)))
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def ngram_jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      NgramJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def lang_id(c: Column): Column =
+    ColumnBridge.column(LangId(ColumnBridge.expression(c)))
+  def quality_score(c: Column): Column =
+    ColumnBridge.column(QualityScore(ColumnBridge.expression(c)))
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Register SQL names on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "extract_turn", exprs => ExtractTurn(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_bands", exprs => MinHashBands(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "ngram_jaccard", exprs => NgramJaccard(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "lang_id", exprs => LangId(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "quality_score", exprs => QualityScore(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "scala_udf")
   }
 }

@@ -1,0 +1,167 @@
+package graft
+
+import graft.kernel.TextHash
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline operators: dedup family, similarity search,
+  * text analysis, multimodal plumbing.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // --- kernel properties -------------------------------------------------
+
+  test("minhash signature approximates jaccard") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy cat again and again"
+    val c = "completely different text with nothing shared whatsoever here"
+    val sigA = TextHash.minhashSig(a)
+    val sigB = TextHash.minhashSig(b)
+    val sigC = TextHash.minhashSig(c)
+    def est(x: Array[Long], y: Array[Long]) =
+      x.zip(y).count { case (u, v) => u == v }.toDouble / x.length
+    val jAB = TextHash.ngramJaccard(a, b)
+    assert(math.abs(est(sigA, sigB) - jAB) < 0.25)
+    assert(est(sigA, sigC) < 0.2)
+    // identical text -> identical signature -> identical band keys
+    assert(TextHash.minhashSig(a).sameElements(TextHash.minhashSig(a)))
+    assert(TextHash.lshBandKeys(sigA).sameElements(TextHash.lshBandKeys(sigA)))
+  }
+
+  test("simhash: near-identical texts within small hamming distance") {
+    val a = "spark catalyst shuffle partition conversation transcript engine"
+    val b = "spark catalyst shuffle partition conversation transcript engines"
+    val c = "walrus penguin umbrella xylophone quartz jigsaw voodoo marble"
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(TextHash.simhash64(a), TextHash.simhash64(b)) <= 16)
+    assert(ham(TextHash.simhash64(a), TextHash.simhash64(c)) > 16)
+  }
+
+  test("jaccard kernel: bounds and identity") {
+    assert(TextHash.ngramJaccard("abcdefgh", "abcdefgh") == 1.0)
+    assert(TextHash.ngramJaccard("abcdefgh", "zyxwvuts") == 0.0)
+    val j = TextHash.ngramJaccard("hello world out there", "hello world in there")
+    assert(j > 0.0 && j < 1.0)
+  }
+
+  test("langid kernel: clear-cut cases") {
+    assert(TextHash.langId("the cat is in the house and it is warm") == "en")
+    assert(TextHash.langId("le chat est dans la maison et il est dans le salon") == "fr")
+    assert(TextHash.langId("el gato es grande y la casa es una casa por el sol") == "es")
+    assert(TextHash.langId("der hund ist mit den kindern und das haus ist nicht klein") == "de")
+    assert(TextHash.langId("这 是 一个 测试 的 句子 我 不 知道") == "zh")
+    assert(TextHash.langId("zzz qqq www") == "und")
+  }
+
+  test("quality kernel: ordering of obvious cases") {
+    val good = "This is a reasonably long, well formed sentence with normal words in it. " * 3
+    val bad = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( )))) $$$$"
+    assert(TextHash.qualityScore(good) > TextHash.qualityScore(bad))
+    assert(TextHash.qualityScore("") == 0.0)
+  }
+
+  // --- distributed ops ---------------------------------------------------
+
+  test("exact dedup: injected duplicates collapse to min doc_id") {
+    import spark.implicits._
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.exactDedup(d).collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("group_size") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds injected near-duplicates") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep dark forest tonight"
+    val d = Seq(
+      (1L, base),
+      (2L, base.replace("dog", "cat")),       // near-dup of 1
+      (3L, "completely unrelated content about spark shuffle partitions and catalyst expression codegen"),
+      (4L, base)                               // exact dup of 1
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashNearDups(d, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("LSH candidates == exact pairs at the verify threshold (recall on real docs)") {
+    // every pair the exact quadratic baseline finds at >= 0.6 must be
+    // found by LSH too on the sf0.001 documents (banding at 16x4 has
+    // ~1.0 recall at j=0.6 for 64 hashes)
+    val exact = DedupOps.ngramJaccardPairsExact(docs, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashNearDups(docs, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH produced a pair the exact baseline rejects")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhash near-dups symmetric-free and hamming-bounded") {
+    val out = DedupOps.simhashNearDups(docs, maxHamming = 6).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Int]("hamming") <= 6)
+    }
+  }
+
+  test("ANN brute force: top-1 of a corpus vector query is itself-free and sane") {
+    val q = embs.filter(col("vec_id") === 0)
+    val top = SimilarityOps.bruteForceTopK(embs, q, k = 3).collect()
+    assert(top.length == 3)
+    assert(top.forall(_.getAs[Long]("vec_id") != 0L))
+    val cosList = top.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+    assert(cosList.sameElements(cosList.sorted.reverse))
+  }
+
+  test("ANN IVF: recall vs brute force >= 0.5 at nProbe=8/rate=16") {
+    val queries = embs.filter(pmod(col("vec_id"), lit(101)) === 0)
+    val brute = SimilarityOps.bruteForceTopK(embs, queries, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = SimilarityOps.ivfTopK(embs, queries, k = 5, nProbe = 8, rate = 16)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
+  test("multimodal: stub decode roundtrips the synthesized header") {
+    val feats = MultimodalOps.mediaFeatures(spark, docs.limit(50)).collect()
+    assert(feats.length == 50)
+    feats.foreach { r =>
+      assert(r.getAs[Boolean]("header_ok"))
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") == (id % 64 + 1).toInt)
+      assert(r.getAs[Int]("height") == (id % 48 + 1).toInt)
+      assert(r.getAs[Int]("channels") == 3)
+      assert(r.getAs[String]("media_type") ==
+        (if (id % 2 == 0) "image" else "audio"))
+    }
+  }
+
+  test("sql registration: all custom functions callable from SQL") {
+    docs.limit(5).createOrReplaceTempView("docs_fn_test")
+    val r = spark.sql(
+      """SELECT simhash64(text) AS sh, lang_id(text) AS l,
+        |  quality_score(text) AS q, size(minhash_sig(text)) AS nsig,
+        |  size(minhash_bands(text)) AS nbands,
+        |  ngram_jaccard(text, text) AS jself
+        |FROM docs_fn_test""".stripMargin).collect()
+    r.foreach { row =>
+      assert(row.getAs[Int]("nsig") == 64)
+      assert(row.getAs[Int]("nbands") == 16)
+      assert(row.getAs[Double]("jself") == 1.0)
+      assert(row.getAs[Double]("q") >= 0 && row.getAs[Double]("q") <= 1)
+    }
+  }
+}
