@@ -76,8 +76,11 @@ object PdfLayout {
     // column assignment first: reading order is column-major
     val (left, right) = runs.partition(_.x < PageWidth / 2)
 
+    // Tie-breaks use (y, x, text) — NEVER srcStart — so the layout is
+    // invariant under input-line permutation (property-tested): two runs
+    // at the same coordinates order by content, not by arrival order.
     def linesOf(rs: Array[Run]): ArrayBuffer[ArrayBuffer[Run]] = {
-      val sorted = rs.sortBy(r => (r.y, r.x, r.srcStart))
+      val sorted = rs.sortBy(r => (r.y, r.x, r.text))
       val lines = new ArrayBuffer[ArrayBuffer[Run]]
       for (r <- sorted) {
         if (lines.nonEmpty && math.abs(r.y - lines.last.head.y) < SameLineTol)
@@ -87,7 +90,7 @@ object PdfLayout {
       }
       // same-line left-to-right order (the bubble-swap rule)
       lines.foreach(l => {
-        val s = l.sortBy(r => (r.x, r.srcStart)); l.clear(); l ++= s
+        val s = l.sortBy(r => (r.x, r.y, r.text)); l.clear(); l ++= s
       })
       lines
     }
