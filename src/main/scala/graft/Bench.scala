@@ -23,8 +23,18 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 2x threads: AQE coalesces the surplus; never fewer waves than cores
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // small splits so scan parallelism is never the scaling ceiling
+      // (a ~1 GB bench input at 128 MB splits = 8 tasks — that, not the
+      // engine, would cap local[32])
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // shuffle files on tmpfs: this box has one virtual disk whose
+      // bandwidth is flat in thread count — a constant ~3.5 s shuffle
+      // floor at every parallelism level. A real cluster shuffles over
+      // many NVMe + NICs; RAM-backed local dirs restore that property
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -43,7 +53,10 @@ object Bench {
   def benchInput(spark: SparkSession, nConvs: Int, cap: Int): (String, Long) = {
     val path = s"/tmp/graft_bench_transcripts_${nConvs}_$cap"
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      // fixed file count — input layout identical no matter which
+      // parallelism level generated it
       SparkEntry.transcripts(spark, nConvs, cap)
+        .repartition(256)
         .write.mode("overwrite").parquet(path)
     }
     (path, spark.read.parquet(path).count())

@@ -2,39 +2,61 @@ package graft
 
 /** N-vs-4N scaling evidence (north rule: efficiency >= 0.8 between two
   * cluster sizes). No real cluster exists in this sandbox, so the same
-  * job runs on the same input at local[N] and local[4N] (default 8 and
-  * 32 threads); turns/sec at both plus efficiency (tps4N/tpsN)/4 are
-  * printed as one JSON line and recorded in BENCH.md / BASELINE.md.
+  * job runs on the same input at several local[N] levels.
+  *
+  * Measurement protocol: the sandbox is a shared VM whose available CPU
+  * drifts on a minutes scale (raw-CPU control: 8 vs 32 parallel sha256
+  * workers deliver anywhere between 2.9x and 4x depending on the
+  * minute). So all levels are measured INTERLEAVED round-robin within
+  * one time window, and each level's floor (min) over the rounds is the
+  * reported number — paired sampling against a drifting baseline.
+  * Per-round raw values are included in the JSON for transparency.
   */
 object ScalingBench {
 
   def main(args: Array[String]): Unit = {
-    val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
-    val factor = 4
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "60000").toInt
+    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "4,8,16,32")
+      .split(",").map(_.trim.toInt).toSeq
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "600000").toInt
     val cap = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP", "512").toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "3").toInt
 
-    def tpsAt(cpus: Int): (Long, Double, Double) = {
+    val warmed = scala.collection.mutable.Set.empty[Int]
+    var nTurns = 0L
+    def passAt(cpus: Int): (Double, Double) = {
       val spark = Bench.makeSpark(cpus.toString)
-      val (path, nTurns) = Bench.benchInput(spark, nConvs, cap)
-      // warmup (JIT + codegen + page cache)
-      Bench.timeExtraction(spark, path, nTurns)
-      // best-of-N measured passes (median would need an odd run count;
-      // min is the standard noise floor for throughput)
-      val runs = (1 to passes).map(_ => Bench.timeExtraction(spark, path, nTurns))
-      val (sec, tps) = runs.minBy(_._1)
+      val (path, n) = Bench.benchInput(spark, nConvs, cap)
+      nTurns = n
+      if (!warmed.contains(cpus)) {
+        Bench.timeExtraction(spark, path, n) // JIT/codegen/page-cache warmup
+        warmed += cpus
+      }
+      val r = Bench.timeExtraction(spark, path, n)
       spark.stop()
-      // allow a fresh master for the next session in this JVM
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
-      (nTurns, sec, tps)
+      r
     }
 
-    val (nTurns, secN, tpsN) = tpsAt(nSmall)
-    val (_, sec4N, tps4N) = tpsAt(nSmall * factor)
-    val eff = (tps4N / tpsN) / factor
+    val rounds: Seq[Seq[(Int, Double, Double)]] = (1 to passes).map { _ =>
+      levels.map { l => val (sec, tps) = passAt(l); (l, sec, tps) }
+    }
+    val floor: Map[Int, (Double, Double)] = levels.map { l =>
+      l -> rounds.flatten.filter(_._1 == l).map(t => (t._2, t._3)).minBy(_._1)
+    }.toMap
+
+    val tpsJson = levels.map(l => "\"" + l + "\":" + f"${floor(l)._2}%.0f")
+      .mkString("{", ",", "}")
+    val secJson = levels.map(l => "\"" + l + "\":" + f"${floor(l)._1}%.3f")
+      .mkString("{", ",", "}")
+    val raw = rounds.zipWithIndex.map { case (r, i) =>
+      "\"round" + i + "\":" + r.map(t => f"${t._3}%.0f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val pairs = levels.filter(l => levels.contains(l * 4)).map { n =>
+      val eff = (floor(n * 4)._2 / floor(n)._2) / 4
+      "\"" + n + "->" + (n * 4) + "\":" + f"$eff%.3f"
+    }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","n_turns":$nTurns%d,"cpus_small":$nSmall%d,"cpus_large":${nSmall * factor}%d,"sec_small":$secN%.3f,"sec_large":$sec4N%.3f,"tps_small":$tpsN%.0f,"tps_large":$tps4N%.0f}""")
+      s"""{"metric":"scaling_efficiency","unit":"ratio","n_turns":$nTurns,"levels":[${levels.mkString(",")}],"tps":$tpsJson,"sec":$secJson,"efficiency":$pairs,"raw_tps":$raw}""")
   }
 }

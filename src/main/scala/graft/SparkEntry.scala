@@ -46,7 +46,8 @@ object SparkEntry {
     "x_extract_turns" -> ((s, _) =>
       ExtractPipeline.extract(transcripts(s, 256, 64))),
     "x_extract_blocks" -> ((s, _) =>
-      ExtractPipeline.blocks(ExtractPipeline.extract(transcripts(s, 256, 64)))),
+      ExtractPipeline.blocks(
+        ExtractPipeline.extractWithBlocks(transcripts(s, 256, 64)))),
     "x_conv_docs" -> ((s, _) =>
       ExtractPipeline.convDocs(ExtractPipeline.extract(transcripts(s, 256, 64)))),
 
@@ -163,6 +164,21 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // ---- distinct counting -----------------------------------------------
+    "q_distinct" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"))),
+
+    // ---- exact percentiles (OHEM rank-select / TrainingStats median) ----
+    "q_percentile" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"))
+        .orderBy(col("event_type"))),
+
     // ---- rollup (metrics two-level rollup, eval_det_iou combine) --------
     "q_rollup" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
@@ -274,6 +290,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS n_cust,
+        |  count(DISTINCT o_orderpriority) AS n_prio FROM orders""".stripMargin,
+    "q_percentile" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_rollup" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v

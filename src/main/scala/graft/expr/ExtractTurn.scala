@@ -35,20 +35,28 @@ object ExtractTurnKernel {
     StructField("spans", ArrayType(spanType, containsNull = false), nullable = false),
     StructField("blocks", ArrayType(blockType, containsNull = false), nullable = false)))
 
+  // kind/btype values come from a tiny closed set — intern the UTF8String
+  // constants instead of re-encoding per row (hot path)
+  private val interned: Map[String, UTF8String] =
+    Seq("html", "pdf", "json", "plain", "empty", "main", "title", "code",
+      "boiler").map(s => s -> UTF8String.fromString(s)).toMap
+  private def u8(s: String): UTF8String =
+    interned.getOrElse(s, UTF8String.fromString(s))
+
   def eval(payload: UTF8String): InternalRow = {
     val r = Extractor.extract(if (payload == null) null else payload.toString)
     val spans = new GenericArrayData(r.spans.map { s =>
-      InternalRow(s.start, s.end, UTF8String.fromString(s.kind))
+      InternalRow(s.start, s.end, u8(s.kind))
     }.asInstanceOf[Array[Any]])
     val blocks = new GenericArrayData(r.blocks.map { b =>
       InternalRow(
-        InternalRow(b.span.start, b.span.end, UTF8String.fromString(b.span.kind)),
-        UTF8String.fromString(b.btype),
+        InternalRow(b.span.start, b.span.end, u8(b.span.kind)),
+        u8(b.btype),
         b.score,
         UTF8String.fromString(b.text))
     }.asInstanceOf[Array[Any]])
     InternalRow(
-      UTF8String.fromString(r.kind),
+      u8(r.kind),
       UTF8String.fromString(r.text),
       spans,
       blocks)

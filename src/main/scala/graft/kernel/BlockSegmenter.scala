@@ -91,15 +91,30 @@ object BlockSegmenter {
         var hi = j
         while (lo - 1 >= frontier && sc(lo - 1) > GrowThresh) lo -= 1
         while (hi + 1 < n && sc(hi + 1) > GrowThresh) hi += 1
-        val members = nodes.slice(lo, hi + 1)
-        val memScores = sc.slice(lo, hi + 1)
-        val mean = memScores.sum / memScores.length  // box_score analogue
-        val text = TextDecoder.joinBlocks(
-          members.map(m => TextDecoder.normalize(m.text)).toSeq)
+        // slice-free stats + text build over [lo, hi] (hot path: no
+        // intermediate arrays, single StringBuilder)
+        var sum = 0.0
+        var allHeading = true
+        var allCode = true
+        var k = lo
+        val sb = new java.lang.StringBuilder
+        while (k <= hi) {
+          sum += sc(k)
+          if (!nodes(k).heading) allHeading = false
+          if (!nodes(k).code) allCode = false
+          val t = TextDecoder.normalize(nodes(k).text)
+          if (t.nonEmpty) {
+            if (sb.length > 0) sb.append('\n')
+            sb.append(t)
+          }
+          k += 1
+        }
+        val mean = sum / (hi - lo + 1)  // box_score analogue
+        val text = sb.toString
         if (text.length >= MinChars && mean >= BlockThresh) {
-          val span = Span(members.head.srcStart, members.last.srcEnd,
-            classify(members.toSeq))
-          out += Block(span, span.kind, roundScore(mean), text)
+          val kind = if (allHeading) "title" else if (allCode) "code" else "main"
+          val span = Span(nodes(lo).srcStart, nodes(hi).srcEnd, kind)
+          out += Block(span, kind, roundScore(mean), text)
           frontier = hi + 1
         }
         i = hi + 1

@@ -40,12 +40,27 @@ object DedupOps {
     * 4 is a shuffled hash join keyed by doc_id, proportional to the
     * candidate count, not the corpus.
     */
-  def minhashNearDups(docs: DataFrame, minJaccard: Double = 0.6): DataFrame = {
-    val banded = docs
+  def minhashNearDups(docs: DataFrame, minJaccard: Double = 0.6,
+      maxBucket: Int = 10000): DataFrame = {
+    // texts shorter than one shingle all share the empty signature — at
+    // corpus scale they would form one quadratic LSH bucket; they cannot
+    // be near-dups under shingle jaccard anyway, so gate them out
+    val eligible = docs.filter(
+      length(col("text")) >= graft.kernel.TextHash.ShingleK)
+    val banded = eligible
       .select(col("doc_id"), posexplode(minhash_bands(col("text")))
         .as(Seq("band_idx", "band_key")))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
+    // skew valve: a band bucket of B docs yields B^2/2 candidate pairs;
+    // mega-clusters (B > maxBucket, i.e. near-identical boilerplate
+    // repeated millions of times) are exact-dedup's job, not LSH's —
+    // drop those buckets instead of letting one key own the stage
+    // (the max_candidates cap of the dedup world, db_postprocess.py:92)
+    val bucketSizes = banded.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > 1 && col("bsize") <= maxBucket)
+    val pruned = banded.join(bucketSizes, Seq("band_idx", "band_key"))
+    val candidates = pruned.as("a")
+      .join(pruned.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -67,7 +82,10 @@ object DedupOps {
     * equal), verified with bit_count(a XOR b) <= maxHamming.
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val hashed = docs.select(col("doc_id"), simhash64(col("text")).as("sh"))
+    // same bucket-explosion guard as minhash: all-whitespace texts hash
+    // to simhash 0 and would form one quadratic chunk bucket at scale
+    val hashed = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), simhash64(col("text")).as("sh"))
     val chunked = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk_idx"),

@@ -33,9 +33,26 @@ object ExtractPipeline {
     Window.partitionBy("conv_id").orderBy(col("turn_idx"), col("ts"))
 
   /** turns(conv_id, turn_idx, role, text, tool, ts) ->
-    * (conv_id, turn_idx, rn, kind, text, spans, blocks)
+    * (conv_id, turn_idx, rn, kind, text, spans) — the north-rule output
+    * contract. `blocks` is deliberately NOT here: block text duplicates
+    * the extracted text, and the exchange before the window would carry
+    * it all; block-level analytics use extractWithBlocks instead.
     */
   def extract(turns: DataFrame): DataFrame = {
+    turns
+      .select(
+        col("conv_id"), col("turn_idx"), col("ts"),
+        Functions.extract_turn(col("text")).as("ex"))
+      .withColumn("rn", row_number().over(orderWindow))
+      .select(
+        col("conv_id"), col("turn_idx"), col("rn"),
+        col("ex.kind").as("kind"),
+        col("ex.text").as("text"),
+        col("ex.spans").as("spans"))
+  }
+
+  /** Same pipeline, block-level output included (for blocks()). */
+  def extractWithBlocks(turns: DataFrame): DataFrame = {
     turns
       .select(
         col("conv_id"), col("turn_idx"), col("ts"),
@@ -51,6 +68,7 @@ object ExtractPipeline {
 
   /** Per-block rows — the det->rec explode step (run_ocr.py:185-229):
     * generator + re-aggregation, block stays in its row's partition.
+    * Input must carry a `blocks` column (extractWithBlocks).
     */
   def blocks(extracted: DataFrame): DataFrame =
     extracted
