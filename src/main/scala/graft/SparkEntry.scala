@@ -50,6 +50,28 @@ object SparkEntry {
         ExtractPipeline.extractWithBlocks(transcripts(s, 256, 64)))),
     "x_conv_docs" -> ((s, _) =>
       ExtractPipeline.convDocs(ExtractPipeline.extract(transcripts(s, 256, 64)))),
+    // error-side output: rows whose payload failed its sniffed decoder
+    // (the reference's per-row try/except path, simple_dataset.py:94-120)
+    "x_bad_rows" -> ((s, _) =>
+      ExtractPipeline.extract(transcripts(s, 256, 64))
+        .filter(!col("ok"))
+        .select(col("conv_id"), col("turn_idx"), col("rn"), col("kind"))),
+    // A/B variant audit (DistillationModel analogue): pipeline vs itself
+    // must be exact — acc 1.0, n_exact == n
+    "x_ab_audit" -> ((s, _) => {
+      val e = ExtractPipeline.extract(transcripts(s, 128, 32))
+      graft.metrics.Quality.equalityReport(e, e)
+    }),
+    // checkpointed run + per-partition lineage stats (FIXTURES.md §5)
+    "x_partition_stats" -> ((s, _) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_q").toString
+      graft.io.TableIO.runCheckpointed(s, transcripts(s, 128, 32),
+        ExtractPipeline.extract, dir, nBuckets = 8, waveSize = 4)
+      graft.io.TableIO.partitionStats(s, dir, 8)
+        .select(col("bucket"), col("rows"), col("convs"), col("attempt"))
+        .orderBy(col("bucket"))
+    }),
 
     // ---- dedup (training-data pipeline) ---------------------------------
     "dd_exact" -> ((s, dir) =>
@@ -130,7 +152,7 @@ object SparkEntry {
         .partitionBy(col("event_type"))
         .orderBy(col("value").desc, col("event_id"))
       s.read.parquet(s"$dir/events.parquet")
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 2)
         .select(col("event_type"), col("rk"), col("event_id"), col("value"))
         .orderBy(col("event_type"), col("rk"))
@@ -162,6 +184,18 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
             .as("total"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- label encode (ClsLabelEncode: label -> index via broadcast
+    //      list, unknown -> row drop; label_ops.py:6-16) ------------------
+    "q_label_encode" -> ((s, dir) => {
+      val labels = array(lit("click"), lit("view"), lit("purchase"))
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          (array_position(labels, col("event_type")) - 1)
+            .cast("int").as("label_idx"))
+        .filter(col("label_idx") >= 0)
+        .orderBy(col("event_id"))
     }),
 
     // ---- distinct counting -----------------------------------------------
@@ -290,6 +324,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_label_encode" ->
+      """SELECT event_id,
+        |  CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+        |    WHEN 'purchase' THEN 2 END AS label_idx
+        |FROM events
+        |WHERE event_type IN ('click', 'view', 'purchase')
+        |ORDER BY event_id""".stripMargin,
     "q_distinct" ->
       """SELECT count(DISTINCT o_custkey) AS n_cust,
         |  count(DISTINCT o_orderpriority) AS n_prio FROM orders""".stripMargin,

@@ -131,12 +131,20 @@ $aside
     sentence(h(cell, 300L), 10, 25) + "  " + sentence(h(cell, 301L), 8, 20) +
       "\n\n" + sentence(h(cell, 302L), 6, 15)
 
+  /** Truncated tool output: sniffs as json but fails the parser — the
+    * undecodable-payload class (DecodeImage None path; drives the
+    * bad-rows side channel).
+    */
+  def truncatedJsonPayload(cell: Long): String =
+    jsonPayload(cell).dropRight(5 + (u01(h(cell, 210L)) * 20).toInt)
+
   def payloadFor(cell: Long): String = {
     val r = u01(h(cell, 400L))
     if (r < 0.35) htmlPayload(cell)
     else if (r < 0.40) malformedHtmlPayload(cell)
     else if (r < 0.60) pdfPayload(cell)
-    else if (r < 0.80) jsonPayload(cell)
+    else if (r < 0.78) jsonPayload(cell)
+    else if (r < 0.80) truncatedJsonPayload(cell)
     else plainPayload(cell)
   }
 

@@ -33,7 +33,8 @@ object ExtractTurnKernel {
     StructField("kind", StringType, nullable = false),
     StructField("text", StringType, nullable = false),
     StructField("spans", ArrayType(spanType, containsNull = false), nullable = false),
-    StructField("blocks", ArrayType(blockType, containsNull = false), nullable = false)))
+    StructField("blocks", ArrayType(blockType, containsNull = false), nullable = false),
+    StructField("ok", BooleanType, nullable = false)))
 
   // kind/btype values come from a tiny closed set — intern the UTF8String
   // constants instead of re-encoding per row (hot path)
@@ -59,7 +60,8 @@ object ExtractTurnKernel {
       u8(r.kind),
       UTF8String.fromString(r.text),
       spans,
-      blocks)
+      blocks,
+      r.ok)
   }
 }
 

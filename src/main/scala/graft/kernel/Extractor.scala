@@ -16,8 +16,14 @@ import graft.model.{Block, Span}
   */
 object Extractor {
 
+  /** @param ok false when the payload FAILED its sniffed decoder (html
+    *        with no parseable tag, invalid json, pdf with no parseable
+    *        run) — the per-row try/except side output of the reference
+    *        (simple_dataset.py:94-120): the row survives with an empty
+    *        extraction but is flagged for the bad-rows side channel.
+    */
   final case class Result(kind: String, text: String,
-      spans: Array[Span], blocks: Array[Block])
+      spans: Array[Span], blocks: Array[Block], ok: Boolean)
 
   val KindHtml  = "html"
   val KindPdf   = "pdf"
@@ -112,6 +118,7 @@ object Extractor {
     Result(kind,
       TextDecoder.joinBlocks(bs.map(_.text).toSeq),
       bs.map(_.span),
-      bs)
+      bs,
+      ok = blocks != null)
   }
 }

@@ -17,10 +17,11 @@ object TextOps {
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
       size(regexp_extract_all(col("text"),
-        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("re_tokens"),
-      length(col("text")).as("chars"))
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+        .as("re_tokens"),
+      length(col("text")).cast("long").as("chars"))
       .orderBy(col("doc_id"))
 
   /** Quality features + pinned blended score (see TextHash.qualityScore),
@@ -30,8 +31,8 @@ object TextOps {
   def qualityReport(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      length(col("text")).as("chars"),
-      size(split(trim(col("text")), "\\s+")).as("words"),
+      length(col("text")).cast("long").as("chars"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("words"),
       (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
         length(col("text"))).as("alpha_ratio"),
       (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") /

@@ -48,7 +48,8 @@ object ExtractPipeline {
         col("conv_id"), col("turn_idx"), col("rn"),
         col("ex.kind").as("kind"),
         col("ex.text").as("text"),
-        col("ex.spans").as("spans"))
+        col("ex.spans").as("spans"),
+        col("ex.ok").as("ok"))
   }
 
   /** Same pipeline, block-level output included (for blocks()). */
