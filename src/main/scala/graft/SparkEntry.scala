@@ -82,9 +82,12 @@ object SparkEntry {
     "dd_simhash" -> ((s, dir) =>
       graft.ops.DedupOps.simhashNearDups(docs(s, dir), maxHamming = 6)
         .orderBy(col("id_a"), col("id_b"))),
+    // quadratic baseline: subset capped so cost stays bounded at any sf
+    // (the exact all-pairs path is a validation tool, not a scale path)
     "dd_jaccard_exact" -> ((s, dir) =>
       graft.ops.DedupOps.ngramJaccardPairsExact(
-        docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0), 0.25)
+        docs(s, dir).filter(
+          pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < 2000), 0.25)
         .orderBy(col("id_a"), col("id_b"))),
     "dd_embed_cos" -> ((s, dir) =>
       graft.ops.DedupOps.embeddingNearDups(embs(s, dir), minCos = 0.35, nPlanes = 8, nTables = 4)

@@ -1,6 +1,5 @@
 package graft.kernel
 
-import scala.collection.mutable
 
 /** Hashing/fingerprinting kernels for the training-data pipeline ops
   * (dedup, similarity, language-ID, quality). Pure Scala, one pass where
@@ -22,10 +21,14 @@ object TextHash {
     z ^ (z >>> 31)
   }
 
-  /** Rolling polynomial hashes of all k-char shingles (distinct set). */
+  /** Rolling polynomial hashes of all k-char shingles — DISTINCT, SORTED
+    * primitive array (no boxing: a boxed HashSet here dominated the
+    * whole dedup verify stage in profiling).
+    */
   def shingleHashes(text: String, k: Int = ShingleK): Array[Long] = {
     if (text == null || text.length < k) return Array.empty
-    val set = new mutable.HashSet[Long]
+    val n = text.length - k + 1
+    val all = new Array[Long](n)
     var h = 0L
     val p = 1099511628211L // FNV prime as poly base
     var pk = 1L            // p^k for the rolling subtract
@@ -35,10 +38,18 @@ object TextHash {
     while (i < text.length) {
       h = h * p + text.charAt(i)
       if (i >= k) h -= pk * text.charAt(i - k)
-      if (i >= k - 1) set += mix64(h)
+      if (i >= k - 1) all(i - k + 1) = mix64(h)
       i += 1
     }
-    set.toArray
+    java.util.Arrays.sort(all)
+    // in-place dedup of the sorted array
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || all(i) != all(w - 1)) { all(w) = all(i); w += 1 }
+      i += 1
+    }
+    if (w == n) all else java.util.Arrays.copyOf(all, w)
   }
 
   /** MinHash signature: NumHashes permutations simulated as
@@ -77,16 +88,24 @@ object TextHash {
     out
   }
 
-  /** Exact n-gram Jaccard similarity of two strings' shingle sets. */
+  /** Exact n-gram Jaccard similarity of two strings' shingle sets —
+    * merge-intersection of the two sorted distinct arrays, zero
+    * allocation beyond the shingle arrays themselves.
+    */
   def ngramJaccard(a: String, b: String): Double = {
     val ha = shingleHashes(a)
     val hb = shingleHashes(b)
     if (ha.isEmpty && hb.isEmpty) return 1.0
     if (ha.isEmpty || hb.isEmpty) return 0.0
-    val sa = ha.toSet
     var inter = 0
     var i = 0
-    while (i < hb.length) { if (sa.contains(hb(i))) inter += 1; i += 1 }
+    var j = 0
+    while (i < ha.length && j < hb.length) {
+      val x = ha(i); val y = hb(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
     inter.toDouble / (ha.length + hb.length - inter)
   }
 
