@@ -44,6 +44,47 @@ object HtmlTokenizer {
   private val HeadingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
   private val CodeTags    = Set("pre", "code")
 
+  // canonical instances for the common tags — tag-name extraction
+  // allocates nothing when the tag is one of these
+  private val CommonTags: Array[String] = Array(
+    "a", "p", "b", "i", "u", "em", "li", "ul", "ol", "td", "tr", "th",
+    "h1", "h2", "h3", "h4", "h5", "h6", "br", "hr", "div", "span", "nav",
+    "img", "pre", "code", "body", "head", "html", "form", "table", "title",
+    "aside", "style", "footer", "header", "script", "strong", "section",
+    "article", "noscript", "button", "select", "option", "iframe", "input",
+    "meta", "link")
+  private val CommonByLen: Array[Array[String]] = {
+    val maxLen = CommonTags.map(_.length).max
+    (0 to maxLen).map(l => CommonTags.filter(_.length == l)).toArray
+  }
+
+  /** Lowercased tag name for html[s, e): returns the canonical instance
+    * for known tags (zero allocation), builds a string otherwise.
+    */
+  private def internTag(html: String, s: Int, e: Int): String = {
+    val len = e - s
+    if (len > 0 && len < CommonByLen.length) {
+      val bucket = CommonByLen(len)
+      var bi = 0
+      while (bi < bucket.length) {
+        val cand = bucket(bi)
+        var k = 0
+        var same = true
+        while (same && k < len) {
+          if (Character.toLowerCase(html.charAt(s + k)) != cand.charAt(k))
+            same = false
+          k += 1
+        }
+        if (same) return cand
+        bi += 1
+      }
+    }
+    val sb = new java.lang.StringBuilder(len)
+    var k = s
+    while (k < e) { sb.append(Character.toLowerCase(html.charAt(k))); k += 1 }
+    sb.toString
+  }
+
   /** Case-insensitive indexOf without allocating a lowercased copy. */
   private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
     val hn = hay.length
@@ -115,12 +156,13 @@ object HtmlTokenizer {
 
     def emitText(start: Int, end: Int): Unit = {
       if (end <= start) return
-      val raw = html.substring(start, end)
-      // skip pure-whitespace nodes — they carry no content signal
+      // skip pure-whitespace nodes BEFORE substring — they carry no
+      // content signal and are the majority of inter-tag gaps
       var ws = true
-      var k = 0
-      while (ws && k < raw.length) { if (!Character.isWhitespace(raw.charAt(k))) ws = false; k += 1 }
+      var k = start
+      while (ws && k < end) { if (!Character.isWhitespace(html.charAt(k))) ws = false; k += 1 }
       if (ws) return
+      val raw = html.substring(start, end)
       val decoded = decodeEntities(raw)
       out += DomNode(
         tag = currentTag,
@@ -172,12 +214,13 @@ object HtmlTokenizer {
           } else {
             emitText(textStart, i)
             sawTag = true
-            val inner = html.substring(i + (if (c1 == '/') 2 else 1), close)
-            // tag name = leading letters/digits
-            var te = 0
-            while (te < inner.length && (Character.isLetterOrDigit(inner.charAt(te)))) te += 1
-            val tag = inner.substring(0, te).toLowerCase
-            val selfClosing = inner.endsWith("/")
+            // tag name parsed in place — no substring over the attribute
+            // text (that copy dominated tokenizer time)
+            val nameStart = i + (if (c1 == '/') 2 else 1)
+            var te = nameStart
+            while (te < close && Character.isLetterOrDigit(html.charAt(te))) te += 1
+            val tag = internTag(html, nameStart, te)
+            val selfClosing = close > nameStart && html.charAt(close - 1) == '/'
             if (c1 == '/') popTag(tag)
             else if (tag.nonEmpty && !selfClosing && !VoidTags.contains(tag)) {
               stack += tag

@@ -79,8 +79,25 @@ object PdfLayout {
     // Tie-breaks use (y, x, text) — NEVER srcStart — so the layout is
     // invariant under input-line permutation (property-tested): two runs
     // at the same coordinates order by content, not by arrival order.
+    // Comparators instead of sortBy-tuples: tuple+Double boxing per
+    // comparison made pdf the slowest kernel per byte.
+    val byYXT: java.util.Comparator[Run] = new java.util.Comparator[Run] {
+      def compare(a: Run, b: Run): Int = {
+        val c1 = java.lang.Double.compare(a.y, b.y); if (c1 != 0) return c1
+        val c2 = java.lang.Double.compare(a.x, b.x); if (c2 != 0) return c2
+        a.text.compareTo(b.text)
+      }
+    }
+    val byXYT: java.util.Comparator[Run] = new java.util.Comparator[Run] {
+      def compare(a: Run, b: Run): Int = {
+        val c1 = java.lang.Double.compare(a.x, b.x); if (c1 != 0) return c1
+        val c2 = java.lang.Double.compare(a.y, b.y); if (c2 != 0) return c2
+        a.text.compareTo(b.text)
+      }
+    }
     def linesOf(rs: Array[Run]): ArrayBuffer[ArrayBuffer[Run]] = {
-      val sorted = rs.sortBy(r => (r.y, r.x, r.text))
+      val sorted = rs.clone()
+      java.util.Arrays.sort(sorted, byYXT)
       val lines = new ArrayBuffer[ArrayBuffer[Run]]
       for (r <- sorted) {
         if (lines.nonEmpty && math.abs(r.y - lines.last.head.y) < SameLineTol)
@@ -89,9 +106,11 @@ object PdfLayout {
           lines += ArrayBuffer(r)
       }
       // same-line left-to-right order (the bubble-swap rule)
-      lines.foreach(l => {
-        val s = l.sortBy(r => (r.x, r.y, r.text)); l.clear(); l ++= s
-      })
+      lines.foreach { l =>
+        val arr = l.toArray
+        java.util.Arrays.sort(arr, byXYT)
+        l.clear(); l ++= arr
+      }
       lines
     }
 
