@@ -70,6 +70,37 @@ class MetricsSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("matched") == 0L)
   }
 
+  test("typed Aggregator (combine_results recast): partials merge to P/R/hmean") {
+    import spark.implicits._
+    import graft.metrics.SpanMetricsAggregator.RowCounts
+    // 3 rows of partials across partitions: matched 3, pred 4, gold 6
+    val ds = Seq(RowCounts(1, 2, 2), RowCounts(2, 2, 3), RowCounts(0, 0, 1))
+      .toDS().repartition(3)
+    val m = ds.select(graft.metrics.SpanMetricsAggregator.column).collect()(0)
+    assert(m.matched == 3 && m.nPred == 4 && m.nGold == 6)
+    assert(m.precision == 0.75 && m.recall == 0.5)
+    assert(math.abs(m.hmean - 0.6) < 1e-12)
+  }
+
+  test("typed Aggregator agrees with the SQL-agg spanOverlapReport") {
+    import spark.implicits._
+    val e = extracted.cache()
+    val sqlReport = Quality.spanOverlapReport(e, e).collect()(0)
+    val p = e.select(col("conv_id"), col("rn"), col("spans").as("pred_spans"))
+    val g = e.select(col("conv_id"), col("rn"), col("spans").as("gold_spans"))
+    val counts = p.join(g, Seq("conv_id", "rn"))
+      .select(
+        Quality.spanMatches(col("pred_spans"), col("gold_spans"))
+          .cast("long").as("matched"),
+        size(col("pred_spans")).cast("long").as("nPred"),
+        size(col("gold_spans")).cast("long").as("nGold"))
+      .as[graft.metrics.SpanMetricsAggregator.RowCounts]
+    val m = counts.select(graft.metrics.SpanMetricsAggregator.column).collect()(0)
+    assert(m.matched == sqlReport.getAs[Long]("matched"))
+    assert(m.precision == sqlReport.getAs[Double]("precision"))
+    assert(m.hmean == sqlReport.getAs[Double]("hmean"))
+  }
+
   test("smoothed median (TrainingStats recast): constant series unchanged") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i, 10.0)).toDF("step", "v")
