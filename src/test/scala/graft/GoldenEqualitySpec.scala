@@ -99,6 +99,10 @@ class GoldenEqualitySpec extends AnyFunSuite {
     }
   }
 
+  test("driver contract: SparkEntry.entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("sql surface: extract_turn registered and usable from spark.sql") {
     import spark.implicits._
     TranscriptGen.tiny(nConvs = 2, cap = 8)
