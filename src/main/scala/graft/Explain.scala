@@ -26,6 +26,15 @@ object Explain {
     SparkEntry.queries("dd_minhash")(spark, "/root/testdata/sf0.001")
       .explain("formatted")
 
+    println("==== codegen check: extract_turn inside WholeStageCodegen ====")
+    val df = ExtractPipeline.extract(spark.read.parquet(path))
+    df.collect() // force execution so the final (AQE-resolved) plan exists
+    val executed = df.queryExecution.executedPlan.toString
+    val wscSpans = executed.linesIterator
+      .filter(l => l.contains("WholeStageCodegen") || l.contains("extract_turn"))
+      .take(10).mkString("\n")
+    println(wscSpans)
+
     spark.stop()
   }
 }
