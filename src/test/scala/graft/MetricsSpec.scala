@@ -107,4 +107,23 @@ class MetricsSpec extends AnyFunSuite {
     val sm = Quality.smoothedMedian(df, "step", "v", window = 5).collect()
     assert(sm.forall(_.getAs[Double]("v_median") == 10.0))
   }
+
+  test("throughput listener captures stage stats with skew ratio (ips/fps recast)") {
+    val listener = graft.metrics.ThroughputListener.attach(spark)
+    try {
+      extracted.count()
+      // listener bus is async and private[spark]; poll briefly instead
+      var tries = 0
+      while (listener.snapshot.isEmpty && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      val stats = listener.snapshot
+      assert(stats.nonEmpty, "no stages observed")
+      val df = listener.toDF(spark)
+      assert(df.columns.contains("rowsPerSec") && df.columns.contains("skewRatio"))
+      assert(df.count() == stats.length)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
