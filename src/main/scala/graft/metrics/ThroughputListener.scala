@@ -9,10 +9,13 @@ import scala.collection.mutable
   * queryable metrics table: per stage (rows in, wall ms, rows/sec, max
   * task ms vs median task ms = the skew signal).
   */
-class ThroughputListener extends SparkListener {
+/** Top-level so Catalyst can derive an Encoder (inner case classes of a
+  * non-object need an outer scope).
+  */
+final case class StageStat(stageId: Int, name: String, tasks: Int,
+    rows: Long, wallMs: Long, maxTaskMs: Long, medianTaskMs: Long)
 
-  final case class StageStat(stageId: Int, name: String, tasks: Int,
-      rows: Long, wallMs: Long, maxTaskMs: Long, medianTaskMs: Long)
+class ThroughputListener extends SparkListener {
 
   private val taskMs = mutable.Map.empty[Int, mutable.ArrayBuffer[Long]]
   private val stats = mutable.ArrayBuffer.empty[StageStat]
