@@ -62,6 +62,16 @@ object SparkEntry {
       val e = ExtractPipeline.extract(transcripts(s, 128, 32))
       graft.metrics.Quality.equalityReport(e, e)
     }),
+    // rollup over extraction metrics by payload kind (SURVEY §2.8's
+    // "rollup over metrics" extra; NULL kind row = corpus totals)
+    "x_kind_rollup" -> ((s, _) =>
+      ExtractPipeline.extract(transcripts(s, 256, 64))
+        .rollup(col("kind"))
+        .agg(count(lit(1)).as("turns"),
+          sum(length(col("text"))).as("chars"),
+          sum(size(col("spans"))).as("blocks"),
+          sum(when(col("ok"), 0L).otherwise(1L)).as("bad"))
+        .orderBy(col("kind").asc_nulls_first)),
     // checkpointed run + per-partition lineage stats (FIXTURES.md §5)
     "x_partition_stats" -> ((s, _) => {
       val dir = java.nio.file.Files
