@@ -15,6 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fresh dumps every Verify run: queries re-materialize them via
+    // Dumps.ensure, and the DuckDB oracle reads them — a stale dump from
+    // an older kernel revision must never survive into a driver run
+    Dumps.clean(sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -44,8 +44,12 @@ object ExtractTurnKernel {
   private def u8(s: String): UTF8String =
     interned.getOrElse(s, UTF8String.fromString(s))
 
-  def eval(payload: UTF8String): InternalRow = {
-    val r = Extractor.extract(if (payload == null) null else payload.toString)
+  def eval(payload: UTF8String): InternalRow = eval(payload, 0)
+
+  def eval(payload: UTF8String, variant: Int): InternalRow = {
+    val r = Extractor.extract(
+      if (payload == null) null else payload.toString,
+      graft.kernel.ExtractParams.forVariant(variant))
     val spans = new GenericArrayData(r.spans.map { s =>
       InternalRow(s.start, s.end, u8(s.kind))
     }.asInstanceOf[Array[Any]])
@@ -72,14 +76,17 @@ object ExtractTurnKernel {
   * is usable from both the Column API and SQL. doGenCode emits a direct
   * static call, keeping the surrounding projection in whole-stage codegen.
   */
-case class ExtractTurn(child: Expression) extends UnaryExpression {
+case class ExtractTurn(child: Expression, variant: Int = 0)
+    extends UnaryExpression {
 
   override def dataType: DataType = ExtractTurnKernel.outType
   override def nullable: Boolean = false
-  override def prettyName: String = "extract_turn"
+  override def prettyName: String =
+    if (variant == 0) "extract_turn" else s"extract_turn_v$variant"
 
   override def eval(input: InternalRow): Any =
-    ExtractTurnKernel.eval(child.eval(input).asInstanceOf[UTF8String])
+    ExtractTurnKernel.eval(
+      child.eval(input).asInstanceOf[UTF8String], variant)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val childGen = child.genCode(ctx)
@@ -90,7 +97,7 @@ case class ExtractTurn(child: Expression) extends UnaryExpression {
       code"""
         ${childGen.code}
         $rowCls ${ev.value} = $kernel.eval(
-          ${childGen.isNull} ? ($utf8Cls) null : ${childGen.value});
+          ${childGen.isNull} ? ($utf8Cls) null : ${childGen.value}, $variant);
       """
     ev.copy(code = resultCode, isNull = FalseLiteral)
   }

@@ -14,6 +14,12 @@ object Functions {
   def extract_turn(c: Column): Column =
     ColumnBridge.column(ExtractTurn(ColumnBridge.expression(c)))
 
+  /** extract_turn with an explicit params variant (A/B audits;
+    * 0 = golden default, 1 = ExtractParams.VariantB).
+    */
+  def extract_turn_variant(c: Column, variant: Int): Column =
+    ColumnBridge.column(ExtractTurn(ColumnBridge.expression(c), variant))
+
   def minhash_sig(c: Column): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c)))
   def minhash_bands(c: Column): Column =

@@ -3,6 +3,30 @@ package graft.kernel
 import graft.model.{Block, DomNode, Span}
 import scala.collection.mutable.ArrayBuffer
 
+/** Pinned segmentation parameters — the DBPostProcess config block
+  * (thresh/box_thresh/min_size/max_candidates, db_postprocess.py:12-25)
+  * made an explicit value so extractor VARIANTS can run side-by-side
+  * (the DistillationModel A/B pattern, distillation_model.py:13-45).
+  * `Default` IS the golden spec; `VariantB` is a deliberately different
+  * tuning used by the A/B audit query.
+  */
+final case class ExtractParams(
+    nodeThresh: Double,
+    blockThresh: Double,
+    minChars: Int,
+    growThresh: Double,
+    panLinkDelta: Double)
+
+object ExtractParams {
+  val Default: ExtractParams =
+    ExtractParams(nodeThresh = 0.20, blockThresh = 0.45, minChars = 2,
+      growThresh = 0.05, panLinkDelta = 0.5)
+  /** A/B audit variant: stricter block gate, less unclip growth. */
+  val VariantB: ExtractParams =
+    Default.copy(blockThresh = 0.55, growThresh = 0.30)
+  def forVariant(v: Int): ExtractParams = if (v == 1) VariantB else Default
+}
+
 /** Node scoring + block segmentation + classification — the engine's
   * analogue of the DB postprocess chain
   * (pytocr/postprocess/db_postprocess.py:10-153):
@@ -16,25 +40,29 @@ import scala.collection.mutable.ArrayBuffer
   *   -> mean-score filter -> unclip growth into adjacent low-score nodes
   *   -> blocks
   *
-  * plus PAN-style similarity-gated merge (pan_postprocess_fast/pa.pyx:86-87):
-  * adjacent blocks merge only when their structural features agree.
+  * plus the PAN-style similarity gate (pan_postprocess_fast/pa.pyx:86-87:
+  * a pixel joins a region only if its embedding is within distance 3 of
+  * the region mean): here a weak node joins a block during unclip growth
+  * only if its LINK DENSITY is within `panLinkDelta` of the seed run's
+  * link density — a link-dense fragment does not get absorbed into a
+  * low-link content block even when adjacent.
   *
-  * All thresholds are pinned constants — they are the spec the golden
-  * equality tests assert (mirroring DBPostProcess's thresh/box_thresh/
-  * min_size/max_candidates defaults, db_postprocess.py:12-25,92,105-114).
+  * All thresholds are pinned constants (ExtractParams.Default) — they are
+  * the spec the golden equality tests assert (mirroring DBPostProcess's
+  * thresh/box_thresh/min_size/max_candidates defaults,
+  * db_postprocess.py:12-25,92,105-114).
   */
 object BlockSegmenter {
 
-  // DBPostProcess.thresh analogue: node enters the binary mask
-  val NodeThresh = 0.20
-  // DBPostProcess.box_thresh analogue: block mean score gate
-  val BlockThresh = 0.45
-  // DBPostProcess.min_size analogue: minimum decoded chars per block
-  val MinChars = 2
-  // DBPostProcess.max_candidates analogue (db_postprocess.py:92)
+  // aliases kept for tests/docs that reference the pinned defaults
+  val NodeThresh: Double = ExtractParams.Default.nodeThresh
+  val BlockThresh: Double = ExtractParams.Default.blockThresh
+  val MinChars: Int = ExtractParams.Default.minChars
+  // DBPostProcess.max_candidates analogue (db_postprocess.py:92) — not a
+  // tuning knob, a safety valve; shared by all variants
   val MaxCandidates = 1000
-  // PSE-style weak threshold used by unclip growth (progressive widening)
-  val GrowThresh = 0.05
+  val GrowThresh: Double = ExtractParams.Default.growThresh
+  val PanLinkDelta: Double = ExtractParams.Default.panLinkDelta
 
   /** Score one node — Boilerpipe/Readability-style text-density +
     * link-density heuristic (the "prob map" of the extraction):
@@ -67,36 +95,69 @@ object BlockSegmenter {
     else "main"
   }
 
+  /** Segmentation result: surviving blocks plus the best REJECTED
+    * candidate (longest normalized text among runs that passed the node
+    * threshold but failed the block gate; null when none) — the input to
+    * Extractor.selectMain's never-emit-an-empty-page fallback.
+    */
+  final case class SegResult(blocks: Array[Block], bestRejected: Block)
+
+  /** Default-params surviving blocks (golden-spec entry point). */
+  def segment(nodes: Array[DomNode]): Array[Block] =
+    segmentCore(nodes, ExtractParams.Default).blocks
+
   /** Segment a scored node array into content blocks. Pure, deterministic,
     * per-row (no shuffle — rows are independent, like the per-image C++
     * kernel db_postprocess.cpp:231-358).
     */
-  def segment(nodes: Array[DomNode]): Array[Block] = {
-    if (nodes == null || nodes.isEmpty) return Array.empty
+  def segmentCore(nodes: Array[DomNode], p: ExtractParams): SegResult = {
+    if (nodes == null || nodes.isEmpty)
+      return SegResult(Array.empty, null)
     val sc = scores(nodes)
     val n = nodes.length
     val out = new ArrayBuffer[Block](8)
+    var bestRejected: Block = null
     var i = 0
     var frontier = 0 // first node not yet owned by an emitted block
     while (i < n && out.length < MaxCandidates) {
-      if (sc(i) > NodeThresh) {
+      if (sc(i) > p.nodeThresh) {
         // contiguous run of above-threshold nodes (connected component)
         var j = i
-        while (j + 1 < n && sc(j + 1) > NodeThresh) j += 1
+        while (j + 1 < n && sc(j + 1) > p.nodeThresh) j += 1
+        // seed link density over the strict run [i, j] — the "region
+        // mean embedding" of the PAN merge gate
+        var seedChars = 0L
+        var seedLink = 0L
+        var k = i
+        while (k <= j) {
+          seedChars += nodes(k).text.length
+          seedLink += nodes(k).linkChars
+          k += 1
+        }
+        val seedLinkDensity =
+          if (seedChars == 0) 0.0 else seedLink.toDouble / seedChars
         // unclip: grow into adjacent weak (but non-zero) nodes — the
         // outward polygon offset (db_postprocess.py:146-153) / PSE BFS
         // widening (pse.pyx:13-69) analogue; never past the previous
-        // block's territory (blocks stay disjoint)
+        // block's territory (blocks stay disjoint). A weak node joins
+        // only if its link density agrees with the seed's (PAN gate).
+        def mayGrow(idx: Int): Boolean = {
+          if (sc(idx) <= p.growThresh) return false
+          val len = nodes(idx).text.length
+          val linkRatio =
+            if (len == 0) 0.0 else nodes(idx).linkChars.toDouble / len
+          math.abs(linkRatio - seedLinkDensity) <= p.panLinkDelta
+        }
         var lo = i
         var hi = j
-        while (lo - 1 >= frontier && sc(lo - 1) > GrowThresh) lo -= 1
-        while (hi + 1 < n && sc(hi + 1) > GrowThresh) hi += 1
+        while (lo - 1 >= frontier && mayGrow(lo - 1)) lo -= 1
+        while (hi + 1 < n && mayGrow(hi + 1)) hi += 1
         // slice-free stats + text build over [lo, hi] (hot path: no
         // intermediate arrays, single StringBuilder)
         var sum = 0.0
         var allHeading = true
         var allCode = true
-        var k = lo
+        k = lo
         val sb = new java.lang.StringBuilder
         while (k <= hi) {
           sum += sc(k)
@@ -111,16 +172,23 @@ object BlockSegmenter {
         }
         val mean = sum / (hi - lo + 1)  // box_score analogue
         val text = sb.toString
-        if (text.length >= MinChars && mean >= BlockThresh) {
-          val kind = if (allHeading) "title" else if (allCode) "code" else "main"
+        val kind = if (allHeading) "title" else if (allCode) "code" else "main"
+        if (text.length >= p.minChars && mean >= p.blockThresh) {
           val span = Span(nodes(lo).srcStart, nodes(hi).srcEnd, kind)
           out += Block(span, kind, roundScore(mean), text)
           frontier = hi + 1
+        } else if (text.nonEmpty &&
+            (bestRejected == null || text.length > bestRejected.text.length)) {
+          // candidate existed but failed the gate — remember the longest
+          // (ties keep the earlier run; document order is content-driven)
+          bestRejected = Block(
+            Span(nodes(lo).srcStart, nodes(hi).srcEnd, kind),
+            kind, roundScore(mean), text)
         }
         i = hi + 1
       } else i += 1
     }
-    out.toArray
+    SegResult(out.toArray, bestRejected)
   }
 
   /** Pin score precision so golden equality is safe across JIT/codegen. */

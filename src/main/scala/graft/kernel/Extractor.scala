@@ -81,25 +81,44 @@ object Extractor {
     false
   }
 
-  /** Extract main content of one HTML payload. */
-  def extractHtml(payload: String): Array[Block] = {
+  /** Extract main content of one HTML payload (default params). */
+  def extractHtml(payload: String): Array[Block] =
+    extractHtml(payload, ExtractParams.Default)
+
+  def extractHtml(payload: String, p: ExtractParams): Array[Block] = {
     val nodes = HtmlTokenizer.tokenize(payload)
-    if (nodes == null) null else BlockSegmenter.segment(nodes)
+    if (nodes == null) null
+    else {
+      val seg = BlockSegmenter.segmentCore(nodes, p)
+      selectMain(seg.blocks, seg.bestRejected)
+    }
   }
 
   /** Trafilatura-like main-content selection over classified blocks
     * (pinned): keep title/code blocks and main blocks; when NO block
     * survives segmentation but candidates existed, fall back to the
-    * single longest-text block (never emit an empty page for a page that
-    * had real text) — the reference similarly keeps top-score regions.
+    * single longest-text rejected candidate (never emit an empty page for
+    * a page that had real above-threshold text) — the reference similarly
+    * keeps top-score regions. A page with no candidates at all (every
+    * node boilerplate/link-only) stays empty: that IS the boilerplate
+    * strip working.
     */
-  def selectMain(blocks: Array[Block]): Array[Block] = blocks
+  def selectMain(blocks: Array[Block], bestRejected: Block): Array[Block] =
+    if (blocks.nonEmpty) blocks
+    else if (bestRejected != null) Array(bestRejected)
+    else blocks
+
+  /** Full per-turn extraction with the golden-spec default params. */
+  def extract(text: String): Result = extract(text, ExtractParams.Default)
 
   /** Full per-turn extraction. NEVER returns null: undecodable payloads
     * yield Result(kind, "", [], []) — the row-drop (None) path surfaces
     * as an empty extraction so per-turn equality stays total.
+    *
+    * `p` selects the segmentation variant (A/B audits); only the html
+    * branch is parameterized — pdf/json/plain have no tunable gates.
     */
-  def extract(text: String): Result = {
+  def extract(text: String, p: ExtractParams): Result = {
     val kind = sniff(text)
     val blocks: Array[Block] = kind match {
       case KindEmpty => Array.empty
@@ -108,13 +127,13 @@ object Extractor {
         // a leading "%PDF-..." marker line has no 4 commas -> parseRuns
         // skips it; no special-casing needed
         PdfLayout.extract(text)
-      case KindHtml  => extractHtml(text)
+      case KindHtml  => extractHtml(text, p)
       case KindPlain =>
         val norm = TextDecoder.normalize(HtmlTokenizer.decodeEntities(text))
         if (norm.isEmpty) Array.empty[Block]
         else Array(Block(Span(0, text.length, "main"), "main", 1.0, norm))
     }
-    val bs = if (blocks == null) Array.empty[Block] else selectMain(blocks)
+    val bs = if (blocks == null) Array.empty[Block] else blocks
     Result(kind,
       TextDecoder.joinBlocks(bs.map(_.text).toSeq),
       bs.map(_.span),

@@ -7,8 +7,12 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for the large-scale training-data pipeline:
   * exact, MinHash+LSH, SimHash, n-gram Jaccard. All designed as
   * shuffle-on-small-keys plans: the candidate-generation joins move
-  * (id, key) pairs — never document text — and the verify step joins the
-  * text back only for the tiny candidate set.
+  * (id, key) pairs — never document text or embedding vectors — and the
+  * verify step joins the payload back only for the tiny candidate set.
+  *
+  * Each family is factored candidates -> verify so the candidate set can
+  * be materialized (the DuckDB oracle recomputes the verify stage over
+  * the dumped candidates independently).
   */
 object DedupOps {
 
@@ -26,27 +30,30 @@ object DedupOps {
   def exactDupGroups(docs: DataFrame): DataFrame =
     exactDedup(docs).filter(col("group_size") > 1)
 
-  /** MinHash + LSH near-dup candidate pairs, verified by exact n-gram
-    * Jaccard:
+  private def eligibleDocs(docs: DataFrame): DataFrame =
+    // texts shorter than one shingle all share the empty signature — at
+    // corpus scale they would form one quadratic LSH bucket; they cannot
+    // be near-dups under shingle jaccard anyway, so gate them out
+    docs.filter(length(col("text")) >= graft.kernel.TextHash.ShingleK)
+
+  /** MinHash + LSH near-dup CANDIDATE pairs (screened, unverified):
     *   1. map-side: 64-hash MinHash signature -> 16 band keys (one pass
     *      over the text, custom codegen'd expression),
     *   2. explode band keys, self-join on (band_idx, band_key) — the
     *      LSH bucket join; only (doc_id, band) pairs shuffle,
     *   3. distinct candidate pairs (a < b),
-    *   4. verify: join text back (broadcast-sized candidate set at these
-    *      thresholds), exact jaccard >= minJaccard.
+    *   4. signature screen: positional-match fraction of the two 64-long
+    *      signatures is an unbiased jaccard estimator; drop pairs whose
+    *      estimate is >=0.15 below the target BEFORE any text joins
+    *      (sigma ~ sqrt(j(1-j)/64) ~ 0.06, so the margin costs ~0 recall
+    *      and cuts the verify join ~10x on similar-vocabulary corpora).
     *
-    * At 100 TB: step 2's shuffle is ~16 longs/doc; the text join in step
-    * 4 is a shuffled hash join keyed by doc_id, proportional to the
-    * candidate count, not the corpus.
+    * At 100 TB: step 2's shuffle is ~16 longs/doc; step 4 joins 64-long
+    * signatures keyed by doc_id, proportional to candidates, not corpus.
     */
-  def minhashNearDups(docs: DataFrame, minJaccard: Double = 0.6,
+  def minhashCandidates(docs: DataFrame, minJaccard: Double = 0.6,
       maxBucket: Int = 10000): DataFrame = {
-    // texts shorter than one shingle all share the empty signature — at
-    // corpus scale they would form one quadratic LSH bucket; they cannot
-    // be near-dups under shingle jaccard anyway, so gate them out
-    val eligible = docs.filter(
-      length(col("text")) >= graft.kernel.TextHash.ShingleK)
+    val eligible = eligibleDocs(docs)
     val banded = eligible
       .select(col("doc_id"), posexplode(minhash_bands(col("text")))
         .as(Seq("band_idx", "band_key")))
@@ -66,15 +73,8 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // cheap screen BEFORE the text join: the signature is already
-    // computed; its positional-match fraction is an unbiased jaccard
-    // estimator. Banding passes many j≈0.2-0.4 pairs on similar-
-    // vocabulary corpora; screening them on 64 longs instead of
-    // joining full texts cuts the verify stage's shuffle by ~10x.
-    // Margin 0.15 below the target keeps estimator variance (sigma
-    // ≈ sqrt(j(1-j)/64) ≈ 0.06) from costing recall.
     val sigs = eligible.select(col("doc_id"), minhash_sig(col("text")).as("sig"))
-    val screened = candidates
+    candidates
       .join(sigs.withColumnRenamed("doc_id", "id_a")
         .withColumnRenamed("sig", "sig_a"), Seq("id_a"))
       .join(sigs.withColumnRenamed("doc_id", "id_b")
@@ -86,8 +86,16 @@ object DedupOps {
           lit(graft.kernel.TextHash.NumHashes.toDouble))
       .filter(col("est") >= minJaccard - 0.15)
       .select(col("id_a"), col("id_b"))
-    val txt = eligible.select(col("doc_id"), col("text"))
-    screened
+  }
+
+  /** Verify stage: join texts back for the candidate pairs only, exact
+    * n-gram jaccard >= minJaccard. Shuffled hash join keyed by doc_id,
+    * proportional to the candidate count, not the corpus.
+    */
+  def verifyJaccard(cands: DataFrame, docs: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val txt = docs.select(col("doc_id"), col("text"))
+    cands
       .join(txt.withColumnRenamed("doc_id", "id_a")
         .withColumnRenamed("text", "text_a"), Seq("id_a"))
       .join(txt.withColumnRenamed("doc_id", "id_b")
@@ -97,32 +105,79 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** SimHash near-dups: 64-bit fingerprint; pigeonhole banding on the 4
-    * 16-bit chunks (hamming distance <= 3 implies at least one chunk is
-    * equal), verified with bit_count(a XOR b) <= maxHamming.
+  /** MinHash + LSH near-dup pairs, verified by exact n-gram Jaccard. */
+  def minhashNearDups(docs: DataFrame, minJaccard: Double = 0.6,
+      maxBucket: Int = 10000): DataFrame =
+    verifyJaccard(minhashCandidates(docs, minJaccard, maxBucket),
+      eligibleDocs(docs), minJaccard)
+
+  /** SimHash near-dup CANDIDATE pairs via generalized pigeonhole banding:
+    * the 64-bit fingerprint is cut into (maxHamming + 1) near-equal-width
+    * chunks — any pair at hamming distance <= maxHamming must agree on at
+    * least one whole chunk (pigeonhole), so bucketing per chunk has
+    * perfect recall at the target radius. (The round-1 fixed-4-chunk
+    * version silently lost pairs at distance 4-6; now the chunk count
+    * follows the radius.)
+    *
+    * Scale notes: chunk width shrinks as the radius grows
+    * (ceil(64/(h+1)) bits), so the key space per chunk shrinks — at
+    * >= 10^9 docs with h > 3, single-chunk keys get crowded; the standard
+    * fix is prefix extension (band on chunk_i + a few bits of chunk_i+1,
+    * trading recall for selectivity — HmSearch). In-sandbox the
+    * `maxBucket` valve bounds the damage the same way minhash's does:
+    * a bucket of B docs costs B^2/2 pairs, so mega-buckets (boilerplate
+    * clusters, near-constant fingerprints) are dropped — they are exact
+    * dedup's job.
     */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // same bucket-explosion guard as minhash: all-whitespace texts hash
-    // to simhash 0 and would form one quadratic chunk bucket at scale
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15, "radius 0..15 supported")
+    val nChunks = maxHamming + 1
+    // all-whitespace texts hash to simhash 0 and would form one
+    // quadratic chunk bucket at scale — same guard family as minhash
     val hashed = docs.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), simhash64(col("text")).as("sh"))
-    val chunked = hashed.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("chunk_idx"),
-          shiftrightunsigned(col("sh"), i * 16)
-            .bitwiseAND(lit(0xffffL)).as("chunk_key"))): _*)).as("c"))
+    val chunkStructs = (0 until nChunks).map { i =>
+      val off = i * 64 / nChunks
+      val width = (i + 1) * 64 / nChunks - off
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("chunk_idx"),
+        shiftrightunsigned(col("sh"), off).bitwiseAND(lit(mask))
+          .as("chunk_key"))
+    }
+    val chunked = hashed
       .select(col("doc_id"), col("sh"),
-        col("c.chunk_idx").as("chunk_idx"), col("c.chunk_key").as("chunk_key"))
-    chunked.as("a")
-      .join(chunked.as("b"),
+        explode(array(chunkStructs: _*)).as("c"))
+      .select(col("doc_id"), col("sh"),
+        col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk_key").as("chunk_key"))
+    // bucket-size valve (B <= maxBucket) — identical role to minhash's
+    val bucketSizes = chunked.groupBy(col("chunk_idx"), col("chunk_key"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > 1 && col("bsize") <= maxBucket)
+    val pruned = chunked.join(bucketSizes, Seq("chunk_idx", "chunk_key"))
+    pruned.as("a")
+      .join(pruned.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_key") === col("b.chunk_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dups: candidates verified with
+    * bit_count(sh_a XOR sh_b) <= maxHamming.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame =
+    verifyHamming(simhashCandidates(docs, maxHamming, maxBucket), maxHamming)
+
+  def verifyHamming(cands: DataFrame, maxHamming: Int): DataFrame =
+    cands
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
 
   /** All-pairs n-gram Jaccard above a threshold WITHOUT LSH — the exact
     * (quadratic) baseline used to validate the LSH recall in tests; at
@@ -136,15 +191,23 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** Embedding-cosine near-dup pairs via random-hyperplane LSH with
-    * OR-amplification: nTables independent tables of nPlanes sign bits;
-    * a pair is a candidate when ANY table buckets them together
-    * (recall 1-(1-p^planes)^tables). Verified by exact cosine >= minCos.
-    * Hyperplane components are xxhash64-derived +-1 — deterministic, no
-    * driver-side randomness, identical on every executor.
+  /** Embedding-cosine near-dup CANDIDATE pairs via random-hyperplane LSH
+    * with OR-amplification: nTables independent tables of nPlanes sign
+    * bits; a pair is a candidate when ANY table buckets them together
+    * (recall 1-(1-p^planes)^tables). Hyperplane components are
+    * xxhash64-derived +-1 — deterministic, no driver-side randomness,
+    * identical on every executor.
+    *
+    * Scale discipline (round-1 fix): the self-join moves (vec_id,
+    * table_idx, bucket) rows ONLY — embedding vectors never ride through
+    * the bucket join (they are fetched in the verify stage for the
+    * candidate set, exactly like minhash fetches text); and the same
+    * maxBucket valve drops degenerate buckets (nPlanes too low for the
+    * corpus density — scale nPlanes ~ log2(corpus)/2 so expected bucket
+    * size stays bounded).
     */
-  def embeddingNearDups(embs: DataFrame, minCos: Double = 0.95,
-      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+  def embeddingCandidates(embs: DataFrame, nPlanes: Int = 8,
+      nTables: Int = 4, maxBucket: Int = 10000): DataFrame = {
     def tableKey(t: Int) = (0 until nPlanes).map { p =>
       // sign bit of sum_i(vec[i] * sign(hash(table, plane, i)))
       val dotCol = aggregate(
@@ -156,18 +219,45 @@ object DedupOps {
         lit(0.0d), (acc, x) => acc + x)
       when(dotCol >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }.reduce(_ + _)
-    val bucketed = embs.select(col("vec_id"), col("embedding"),
+    val bucketed = embs.select(col("vec_id"),
       posexplode(array((0 until nTables).map(tableKey): _*))
         .as(Seq("table_idx", "bucket")))
-    val cands = bucketed.as("a")
-      .join(bucketed.as("b"),
+    val bucketSizes = bucketed.groupBy(col("table_idx"), col("bucket"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > 1 && col("bsize") <= maxBucket)
+    val pruned = bucketed.join(bucketSizes, Seq("table_idx", "bucket"))
+    pruned.as("a")
+      .join(pruned.as("b"),
         col("a.table_idx") === col("b.table_idx") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        graft.expr.Functions.cosine_sim(
-          col("a.embedding"), col("b.embedding")).as("cos"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-    cands.filter(col("cos") >= minCos)
   }
+
+  /** Verify stage: fetch the two vectors per candidate pair, exact
+    * cosine >= minCos.
+    */
+  def verifyCosine(cands: DataFrame, embs: DataFrame,
+      minCos: Double): DataFrame = {
+    val v = embs.select(col("vec_id"), col("embedding"))
+    cands
+      .join(v.withColumnRenamed("vec_id", "id_a")
+        .withColumnRenamed("embedding", "emb_a"), Seq("id_a"))
+      .join(v.withColumnRenamed("vec_id", "id_b")
+        .withColumnRenamed("embedding", "emb_b"), Seq("id_b"))
+      .withColumn("cos",
+        graft.expr.Functions.cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Embedding-cosine near-dup pairs: LSH candidates verified by exact
+    * cosine.
+    */
+  def embeddingNearDups(embs: DataFrame, minCos: Double = 0.95,
+      nPlanes: Int = 8, nTables: Int = 4,
+      maxBucket: Int = 10000): DataFrame =
+    verifyCosine(embeddingCandidates(embs, nPlanes, nTables, maxBucket),
+      embs, minCos)
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.expr.Functions.cosine_sim
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * Two paths, as the scale ladder demands:
   *  - bruteForceTopK: exact cosine top-k, broadcast queries x corpus —
   *    the correctness baseline; linear in corpus size, fine per-batch.
-  *  - ivfTopK: IVF-style two-stage search — assign every vector to its
-  *    nearest centroid (k-means-free: centroids are a deterministic
-  *    hash-sample of the corpus, good enough for bucketing), probe the
-  *    nProbe nearest centroids per query, exact re-rank only inside
-  *    probed cells. At 100 TB the corpus scan becomes a partition-pruned
-  *    read when the table is written partitioned by centroid_id.
+  *    The rank filter compiles to WindowGroupLimit (Spark >= 3.5), so
+  *    each map task keeps only its local top-k before the exchange —
+  *    the shuffle carries O(k x partitions) rows per query, not N x Q.
+  *  - IVF: build once (nearest-centroid assignment, corpus written
+  *    `partitionBy(centroid_id)`), probe per query batch — the probed
+  *    cells become a PARTITION-PRUNED read of the index, never a corpus
+  *    scan. Centroid count is FIXED (independent of corpus size), so the
+  *    centroid table broadcasts at any scale.
   */
 object SimilarityOps {
 
@@ -35,52 +37,108 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic centroid sample: every vector whose xxhash64(vec_id)
-    * lands in 1/rate — no RNG, reproducible across runs/executors.
+  /** Deterministic FIXED-SIZE centroid sample: the k corpus vectors with
+    * the smallest md5(vec_id) — count independent of corpus size (the
+    * round-1 hash-sample grew with the corpus and stopped being
+    * broadcastable), pseudo-randomly spread by the hash, and
+    * SQL-reproducible so the DuckDB oracle replicates the whole IVF
+    * search. Collecting k rows to the driver is the standard IVF
+    * index-build step (k <= ~65k -> a few MB); the CORPUS never collects.
     */
-  def centroids(corpus: DataFrame, rate: Int = 32): DataFrame =
-    corpus.filter(pmod(xxhash64(col("vec_id")), lit(rate)) === 0)
-      .select(col("vec_id").as("centroid_id"),
-        col("embedding").as("c_emb"))
+  def centroids(corpus: DataFrame, k: Int): Array[(Long, Array[Float])] =
+    corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
-  /** Assign each corpus vector to its nearest centroid (broadcast
-    * centroids; one narrow pass).
+  /** The centroid set as ONE literal array column (broadcast by value —
+    * it rides inside the serialized plan, no shuffle, no join).
     */
-  def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("centroid_id"))
-    corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cosine_sim(col("embedding"), col("c_emb")).as("c_cos"))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
-      .drop("r", "c_cos")
+  def centroidArray(cents: Array[(Long, Array[Float])]): Column =
+    array(cents.map { case (id, emb) =>
+      struct(lit(id).as("cid"), lit(emb).as("cemb"))
+    }: _*)
+
+  /** Nearest-centroid id for `emb` — a fold over the centroid literal
+    * inside one narrow projection: NO crossJoin, NO window, NO shuffle
+    * (the round-1 assign() did corpus x centroids through a window).
+    * Tie-break: higher cosine wins, then smaller centroid_id (matches
+    * ORDER BY cos DESC, centroid_id in the oracle).
+    */
+  def nearestCentroid(emb: Column, centArr: Column): Column = {
+    val best = aggregate(
+      centArr,
+      struct(lit(-2.0).as("c"), lit(Long.MaxValue).as("cid")),
+      (acc, ct) => {
+        val c = cosine_sim(emb, ct.getField("cemb"))
+        when(c > acc.getField("c") ||
+            (c === acc.getField("c") &&
+              ct.getField("cid") < acc.getField("cid")),
+          struct(c.as("c"), ct.getField("cid").as("cid")))
+          .otherwise(acc)
+      })
+    best.getField("cid")
   }
 
-  /** IVF search: probe the nProbe nearest centroids per query, exact
-    * cosine re-rank within probed cells only.
+  /** The nProbe nearest centroid ids for `emb` (cos desc, cid asc). */
+  def probeCentroids(emb: Column, centArr: Column, nProbe: Int): Column = {
+    val scored = transform(centArr, ct =>
+      struct((-cosine_sim(emb, ct.getField("cemb"))).as("negc"),
+        ct.getField("cid").as("cid")))
+    transform(slice(array_sort(scored), 1, nProbe), s => s.getField("cid"))
+  }
+
+  /** Index build: assign every corpus vector map-side, write
+    * partitionBy(centroid_id) — probes then prune partitions. One narrow
+    * pass + one write; on a real cluster this is the Iceberg table
+    * `PARTITIONED BY centroid_id`.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-      nProbe: Int = 4, rate: Int = 32): DataFrame = {
-    val cents = centroids(corpus, rate)
-    val assigned = assign(corpus, cents)
-    val qw = Window.partitionBy(col("query_id"))
-      .orderBy(col("qc_cos").desc, col("centroid_id"))
+  def buildIvfIndex(corpus: DataFrame, cents: Array[(Long, Array[Float])],
+      path: String): Unit =
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("centroid_id",
+        nearestCentroid(col("embedding"), centroidArray(cents)))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** IVF search over a built index: per query, probe the nProbe nearest
+    * cells; the distinct probed cell set (<= nCentroids values, tiny) is
+    * collected and pushed as a static partition filter — the index read
+    * is partition pruning, not a scan. Exact cosine re-rank inside the
+    * probed cells only.
+    */
+  def ivfProbeIndex(spark: SparkSession, indexPath: String,
+      cents: Array[(Long, Array[Float])], queries: DataFrame,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("q_emb"), col("centroid_id"),
-        cosine_sim(col("q_emb"), col("c_emb")).as("qc_cos"))
-      .withColumn("r", row_number().over(qw))
-      .filter(col("r") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("centroid_id"))
+      .withColumn("centroid_id",
+        explode(probeCentroids(col("q_emb"), centroidArray(cents), nProbe)))
+    // static partition filter: <= nCentroids longs — partition PRUNING on
+    // the index (matches the partitionBy layout), robust at tiny scale
+    // where dynamic partition pruning would not trigger
+    val cells = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    val indexed = spark.read.parquet(indexPath)
+      .filter(col("centroid_id").cast("long").isin(cells: _*))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(probes, Seq("centroid_id"))
-      .select(col("query_id"), col("vec_id"),
-        cosine_sim(col("embedding"), col("q_emb")).as("cos"))
+    indexed.join(broadcast(probes),
+        indexed("centroid_id").cast("long") === probes("centroid_id"))
+      .select(col("query_id"), indexed("vec_id").as("vec_id"),
+        cosine_sim(indexed("embedding"), col("q_emb")).as("cos"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Convenience: build (or reuse) the index under `indexPath`, probe. */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      indexPath: String, k: Int = 10, nProbe: Int = 4,
+      nCentroids: Int = 32): DataFrame = {
+    val cents = centroids(corpus, nCentroids)
+    if (!new java.io.File(indexPath + "/_SUCCESS").exists())
+      buildIvfIndex(corpus, cents, indexPath)
+    ivfProbeIndex(spark, indexPath, cents, queries, k, nProbe)
   }
 }

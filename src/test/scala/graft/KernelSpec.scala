@@ -120,6 +120,50 @@ class KernelSpec extends AnyFunSuite {
     assert(BlockSegmenter.segment(nodes).length == BlockSegmenter.MaxCandidates)
   }
 
+  test("segmenter: PAN link-density gate blocks growth into link-dense nodes") {
+    // strong run with zero link density; two adjacent weak nodes with the
+    // SAME score profile but different link ratios: the low-link one is
+    // absorbed (unclip), the link-dense one is rejected (pa.pyx:86-87
+    // similarity gate analogue)
+    val strong = textNode("a" * 80, at = 0)                   // score 1.0
+    val weakPlain = textNode("tiny", at = 100)                // link 0
+    // 10 of 12 chars inside <a>: score = (12/60)*(1-10/12) = 0.033.. hmm
+    // keep score above GrowThresh: 24 chars, 16 link -> (24/60)*(1/3)=0.133
+    val weakLinky = textNode("x" * 24, link = 16, at = 100)
+    val grown = BlockSegmenter.segment(Array(strong, weakPlain))
+    assert(grown.length == 1 && grown(0).text.contains("tiny"))
+    val gated = BlockSegmenter.segment(Array(strong, weakLinky))
+    assert(gated.length == 1 && !gated(0).text.contains("x" * 24),
+      "link-dense weak node must not be absorbed")
+  }
+
+  test("selectMain fallback: all-subthreshold page yields longest block, not empty") {
+    // every run fails BlockThresh -> segment() returns nothing, but the
+    // extractor falls back to the longest rejected candidate (the doc'd
+    // never-emit-an-empty-page rule; round-1 selectMain was an identity)
+    val shortA = textNode("q" * 20, at = 0)    // score 0.333 < BlockThresh
+    val shortB = textNode("r" * 25, at = 100)  // score 0.417 < BlockThresh
+    assert(BlockSegmenter.segment(Array(shortA, shortB)).isEmpty)
+    // nav between the two paragraphs splits them into two candidate runs
+    val html = s"<div><p>${"q" * 20}</p><nav><a href='/'>menu</a></nav>" +
+      s"<p>${"r" * 25}</p></div>"
+    val r = Extractor.extract(html)
+    assert(r.kind == "html")
+    assert(r.text == "r" * 25, s"expected longest-candidate fallback, got '${r.text}'")
+    // a page with NO candidates at all (all boiler) stays empty
+    val navOnly = "<nav><a href='/'>home</a> | <a href='/x'>about page</a></nav>"
+    assert(Extractor.extract(navOnly).text == "")
+  }
+
+  test("segmenter: A/B variants diverge where intended (growth + gate)") {
+    val strong = textNode("a" * 80, at = 0)
+    val weak = textNode("tiny", at = 100) // score ~0.066: grows in A, not in B
+    val a = BlockSegmenter.segmentCore(Array(strong, weak), ExtractParams.Default)
+    val b = BlockSegmenter.segmentCore(Array(strong, weak), ExtractParams.VariantB)
+    assert(a.blocks.head.text.contains("tiny"))
+    assert(!b.blocks.head.text.contains("tiny"))
+  }
+
   test("segmenter: title/code classification (ClsPostProcess analogue)") {
     val h = textNode("Heading Text Here", heading = true)
     val c = textNode("val x = 1 // some code listing", code = true)

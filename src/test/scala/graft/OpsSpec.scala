@@ -116,6 +116,63 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash banding: FULL recall vs brute force at the radius (pigeonhole)") {
+    // generalized (maxHamming+1)-chunk banding must find EVERY pair at
+    // hamming <= maxHamming (the round-1 4-chunk version lost pairs at
+    // distance 4-6 when maxHamming was 6 — ADVICE.md item 1)
+    for (radius <- Seq(3, 4, 6)) {
+      val sh = docs.select(col("doc_id"), graft.expr.Functions.simhash64(col("text")).as("sh"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val brute = (for {
+        (ia, sa) <- sh; (ib, sb) <- sh
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= radius
+      } yield (ia, ib)).toSet
+      val lsh = DedupOps.simhashNearDups(docs, maxHamming = radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh == brute,
+        s"radius $radius: lsh ${lsh.size} pairs vs brute ${brute.size}")
+    }
+  }
+
+  test("simhash/minhash bucket valve: mega-bucket dropped, not exploded") {
+    import spark.implicits._
+    // 6 identical docs -> every chunk bucket has size 6 > maxBucket=3 ->
+    // the valve drops them (exact dedup's job, not LSH's)
+    val mega = (1L to 6L).map(i => (i, "identical text payload for the valve"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.simhashNearDups(mega, maxHamming = 3, maxBucket = 3)
+      .collect().isEmpty)
+    assert(DedupOps.minhashNearDups(mega, minJaccard = 0.5, maxBucket = 3)
+      .collect().isEmpty)
+    // and with the valve open they are all found
+    assert(DedupOps.simhashNearDups(mega, maxHamming = 3, maxBucket = 100)
+      .collect().length == 15)
+  }
+
+  test("embedding near-dups: verified pairs subset of exact-cos pairs") {
+    val exact = {
+      val e = embs.select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      (for {
+        (ia, va) <- e; (ib, vb) <- e
+        if ia < ib
+        cos = {
+          var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+          while (i < va.length) {
+            dot += va(i).toDouble * vb(i); nx += va(i).toDouble * va(i)
+            ny += vb(i).toDouble * vb(i); i += 1
+          }
+          if (nx == 0 || ny == 0) 0.0 else dot / math.sqrt(nx * ny)
+        }
+        if cos >= 0.35
+      } yield (ia, ib)).toSet
+    }
+    val lsh = DedupOps.embeddingNearDups(embs, minCos = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "LSH found nothing at all")
+    assert(lsh.subsetOf(exact), "LSH emitted a pair below the threshold")
+  }
+
   test("ANN brute force: top-1 of a corpus vector query is itself-free and sane") {
     val q = embs.filter(col("vec_id") === 0)
     val top = SimilarityOps.bruteForceTopK(embs, q, k = 3).collect()
@@ -125,14 +182,46 @@ class OpsSpec extends AnyFunSuite {
     assert(cosList.sameElements(cosList.sorted.reverse))
   }
 
-  test("ANN IVF: recall vs brute force >= 0.5 at nProbe=8/rate=16") {
+  test("ANN IVF: recall vs brute force >= 0.5 at nProbe=8/nCentroids=32") {
     val queries = embs.filter(pmod(col("vec_id"), lit(101)) === 0)
     val brute = SimilarityOps.bruteForceTopK(embs, queries, k = 5)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
-    val ivf = SimilarityOps.ivfTopK(embs, queries, k = 5, nProbe = 8, rate = 16)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_ivf_test").toString + "/index"
+    val ivf = SimilarityOps.ivfTopK(spark, embs, queries, idxPath,
+        k = 5, nProbe = 8, nCentroids = 32)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
+  test("ANN IVF: assignment is map-side (no window/exchange before the index write)") {
+    val cents = SimilarityOps.centroids(embs, 8)
+    assert(cents.length == 8)
+    val assigned = embs.select(col("vec_id"), col("embedding"))
+      .withColumn("centroid_id", SimilarityOps.nearestCentroid(
+        col("embedding"), SimilarityOps.centroidArray(cents)))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"nearest-centroid assignment must be a narrow map:\n$plan")
+    assert(!plan.toLowerCase.contains("window"),
+      "assignment must not use a window")
+    // every vector lands on its true nearest centroid (vs a driver-side
+    // recomputation)
+    val centMap = cents.toMap
+    assigned.collect().foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i); nx += a(i).toDouble * a(i)
+          ny += b(i).toDouble * b(i); i += 1
+        }
+        if (nx == 0 || ny == 0) 0.0 else dot / math.sqrt(nx * ny)
+      }
+      val best = cents.map { case (cid, cemb) => (-cos(v, cemb), cid) }.min._2
+      assert(r.getLong(2) == best)
+    }
   }
 
   test("multimodal: stub decode roundtrips the synthesized header") {
