@@ -26,6 +26,12 @@ object Explain {
     SparkEntry.queries("dd_minhash")(spark, "/root/testdata/sf0.001")
       .explain("formatted")
 
+    println("==== ann_ivf: partition-pruned index probe ====")
+    // the probe must read only the probed centroid_id partitions of the
+    // index — look for PartitionFilters/PartitionCount << total cells
+    SparkEntry.queries("ann_ivf")(spark, "/root/testdata/sf0.001")
+      .explain("formatted")
+
     println("==== codegen check: extract_turn inside WholeStageCodegen ====")
     val df = ExtractPipeline.extract(spark.read.parquet(path))
     df.collect() // force execution so the final (AQE-resolved) plan exists

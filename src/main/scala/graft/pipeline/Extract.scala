@@ -25,6 +25,29 @@ import org.apache.spark.sql.functions._
   *    affects the cheap window stage. Cross-turn assembly (convDocs) uses
   *    a two-phase SALTED aggregation so the largest conversation never
   *    lands on one reducer.
+  *
+  * WINDOW-SKEW ROADMAP (design note for the 10^12-turn claim): the
+  * ordering window places one whole conversation's sort+rank on one
+  * task. That is fine while conversations are capped (the generator caps
+  * at 512; ScaleSpec proves the EXPENSIVE extraction stage still splits
+  * a 100k-turn conversation across input-split tasks because it runs
+  * before the exchange). For a pathological 10^8-turn conversation the
+  * rank itself must stop being a single-task sort. Two-step plan, in
+  * preference order:
+  *   1. turn_idx-derived rank: ties exist only WITHIN a turn_idx
+  *      (retries), so rn = (dense position of turn_idx) + (row_number
+  *      over the bounded (conv_id, turn_idx) window ordered by ts). The
+  *      per-turn_idx window is bounded by the retry count (tiny); the
+  *      dense position needs a per-conv prefix-sum over DISTINCT
+  *      turn_idx counts — still smaller than the raw window but not yet
+  *      bounded.
+  *   2. fully distributed rank: repartitionByRange(conv_id, turn_idx,
+  *      ts) + per-partition counts + broadcast offsets + a mapPartitions
+  *      that assigns rn = offset + local index — the classic scalable
+  *      zipWithIndex, O(rows/partitions) per task, no per-conv task.
+  * Neither is wired in because the capped-conversation contract makes
+  * the plain window strictly better (one exchange, AQE-coalescible);
+  * the seam is this ONE orderWindow val.
   */
 object ExtractPipeline {
 
