@@ -48,6 +48,27 @@ class GoldenEqualitySpec extends AnyFunSuite {
       s"${mismatches.size} per-turn mismatches; first: ${mismatches.headOption}")
   }
 
+  test("variant B: per-turn equality against its own golden, and differs from A") {
+    import spark.implicits._
+    val turns = TranscriptGen.tiny(nConvs = 24, cap = 24)
+    val goldenB = turns.groupBy(_.conv_id).flatMap { case (cid, ts) =>
+      ts.sortBy(t => (t.turn_idx, t.ts.getTime)).zipWithIndex.map {
+        case (t, i) =>
+          val r = Extractor.extract(t.text, graft.kernel.ExtractParams.VariantB)
+          (cid, i + 1) -> r.text
+      }
+    }
+    val outB = ExtractPipeline.extractVariant(
+        turns.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"), 1)
+      .select("conv_id", "rn", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2))
+      .toMap
+    assert(outB == goldenB, "variant B pipeline != variant B golden")
+    val goldenA = golden(turns).map { case (k, (_, txt)) => k -> txt }
+    assert(goldenA != goldenB.toMap,
+      "variants must actually diverge on this fixture")
+  }
+
   test("input row order invariance: shuffled input -> identical output") {
     import spark.implicits._
     val turns = TranscriptGen.tiny(nConvs = 16, cap = 32)

@@ -195,6 +195,17 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("ANN IVF: spherical k-means refinement does not decrease the objective") {
+    val cents = SimilarityOps.centroids(embs, 16)
+    val before = SimilarityOps.assignmentObjective(embs, cents)
+    val refined = SimilarityOps.refineCentroids(spark, embs, cents, iters = 2)
+    val after = SimilarityOps.assignmentObjective(embs, refined)
+    assert(after >= before - 1e-9,
+      s"objective decreased: $before -> $after")
+    assert(after > before + 1e-6,
+      s"refinement should measurably improve a random sample: $before -> $after")
+  }
+
   test("ANN IVF: assignment is map-side (no window/exchange before the index write)") {
     val cents = SimilarityOps.centroids(embs, 8)
     assert(cents.length == 8)
