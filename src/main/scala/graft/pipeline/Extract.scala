@@ -42,12 +42,15 @@ import org.apache.spark.sql.functions._
   *      turn_idx counts — still smaller than the raw window but not yet
   *      bounded.
   *   2. fully distributed rank: repartitionByRange(conv_id, turn_idx,
-  *      ts) + per-partition counts + broadcast offsets + a mapPartitions
+  *      ts) + boundary counts + broadcast offsets + a mapPartitions
   *      that assigns rn = offset + local index — the classic scalable
   *      zipWithIndex, O(rows/partitions) per task, no per-conv task.
-  * Neither is wired in because the capped-conversation contract makes
-  * the plain window strictly better (one exchange, AQE-coalescible);
-  * the seam is this ONE orderWindow val.
+  * Step 2 IS implemented: extractDistributedRank below, property-tested
+  * byte-equal to extract() and shown to split a mega-conversation across
+  * all range partitions (ScaleSpec). The window path stays the default
+  * because under the capped-conversation contract it is strictly better
+  * (one exchange, AQE-coalescible, no persist); switch paths when a
+  * conversation can exceed task-size bounds.
   */
 object ExtractPipeline {
 
@@ -94,6 +97,106 @@ object ExtractPipeline {
         col("ex.text").as("text"),
         col("ex.spans").as("spans"),
         col("ex.blocks").as("blocks"))
+  }
+
+  /** The fully distributed rank path (roadmap step 2 made real): stable
+    * rn WITHOUT a per-conversation window task, for corpora where one
+    * conversation exceeds task-size bounds.
+    *
+    *   1. repartitionByRange(conv_id, turn_idx, ts) + sortWithinPartitions
+    *      — a single conversation SPANS partitions instead of owning one
+    *      task (persisted: the two light jobs below must see the same
+    *      partition layout; at cluster scale use DISK_ONLY — the persist
+    *      is the price of removing the mega-task, same trade as
+    *      RDD.zipWithIndex),
+    *   2. boundary-counts job: each partition emits at most two tuples
+    *      (its first and last conversation's local row count) — a
+    *      conversation can only span partitions by being a partition's
+    *      first or last conv, so <= 2P tuples reach the driver no matter
+    *      how many conversations exist,
+    *   3. offsets: for (partition p, conv c), rank offset = rows of c in
+    *      earlier partitions — computed driver-side over the tiny tuple
+    *      set and broadcast,
+    *   4. rank pass: per-partition running counter per conversation,
+    *      rn = offset + local index; extraction then runs as the same
+    *      narrow projection on the ranged partitions.
+    *
+    * Output is BYTE-IDENTICAL to extract() (property-tested): same
+    * ordering spec, same kernel, different physical rank.
+    */
+  def extractDistributedRank(turns: DataFrame, nPart: Int = 0): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val p = if (nPart > 0) nPart else spark.sparkContext.defaultParallelism
+    val ranged = turns
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), col("ts"))
+      .as[graft.model.Turn]
+      .repartitionByRange(p, col("conv_id"), col("turn_idx"), col("ts"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"), col("ts"))
+      .persist()
+
+    // job 1: per-partition boundary conversation counts (<= 2 per task)
+    val boundary: Array[(Int, String, Long)] = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var firstConv: String = null
+      var firstN = 0L
+      var curConv: String = null
+      var curN = 0L
+      it.foreach { t =>
+        if (t.conv_id != curConv) {
+          // close the previous run; keep it only if it was the first
+          if (curConv != null && firstConv == null) {
+            firstConv = curConv; firstN = curN
+          } // interior runs cannot span partitions — dropped
+          curConv = t.conv_id; curN = 0L
+        }
+        curN += 1
+      }
+      // emit only the partition's first and last conversation (a single
+      // conv filling the partition collapses to one tuple)
+      val res = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+      if (curConv != null) {
+        if (firstConv == null) res += ((pid, curConv, curN))
+        else {
+          res += ((pid, firstConv, firstN))
+          res += ((pid, curConv, curN))
+        }
+      }
+      res.iterator
+    }.collect()
+
+    // driver-side offsets over the tiny boundary set
+    val offsets: Map[(Int, String), Long] = {
+      val byConv = boundary.groupBy(_._2)
+      (for {
+        (conv, rows) <- byConv.toSeq
+        sorted = rows.sortBy(_._1)
+        (pid, _, _) <- sorted
+      } yield (pid, conv) ->
+        sorted.filter(_._1 < pid).map(_._3).sum).toMap
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+
+    // job 2: rank pass — running counter per conversation + offset
+    val ranked = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var curConv: String = null
+      var local = 0L
+      it.map { t =>
+        if (t.conv_id != curConv) { curConv = t.conv_id; local = 0L }
+        local += 1
+        val off = bOffsets.value.getOrElse((pid, t.conv_id), 0L)
+        (t, (off + local).toInt)
+      }
+    }.toDF("t", "rn")
+
+    ranked
+      .select(col("t.conv_id").as("conv_id"), col("t.turn_idx").as("turn_idx"),
+        col("rn"), Functions.extract_turn(col("t.text")).as("ex"))
+      .select(col("conv_id"), col("turn_idx"), col("rn"),
+        col("ex.kind").as("kind"), col("ex.text").as("text"),
+        col("ex.spans").as("spans"), col("ex.ok").as("ok"))
   }
 
   /** Per-block rows — the det->rec explode step (run_ocr.py:185-229):

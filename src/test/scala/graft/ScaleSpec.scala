@@ -67,6 +67,37 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("distributed rank: byte-equal to the window rank, incl. retries") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_distrank").toString
+    SparkEntry.transcripts(spark, nConvs = 24, cap = 32)
+      .write.mode("overwrite").parquet(dir)
+    val in = spark.read.parquet(dir)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("conv_id", "turn_idx", "rn", "kind", "text")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+          r.getString(3), r.getString(4))).toSet
+    assert(key(ExtractPipeline.extractDistributedRank(in, nPart = 7)) ==
+      key(ExtractPipeline.extract(in)))
+  }
+
+  test("distributed rank: one mega-conversation spans many rank tasks") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_distrank_mega").toString
+    SparkEntry.transcripts(spark, nConvs = 1, cap = 20000)
+      .write.mode("overwrite").parquet(dir)
+    val out = ExtractPipeline.extractDistributedRank(
+      spark.read.parquet(dir), nPart = 8)
+    assert(out.rdd.getNumPartitions == 8,
+      "the single conversation must span all range partitions")
+    val rns = out.select("rn").collect().map(_.getInt(0))
+    assert(rns.length >= 20000)
+    assert(rns.toSet == (1 to rns.length).toSet,
+      "rn must be the dense 1..N rank despite the conv spanning tasks")
+  }
+
   test("brute-force ANN: rank filter compiles to WindowGroupLimit (partial top-k)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(pmod(col("vec_id"), lit(101)) === 0)
