@@ -36,6 +36,8 @@ object Dumps {
   def emCands(sfDir: String): String = s"${root(sfDir)}/em_cands"
   def ckpt(sfDir: String): String = s"${root(sfDir)}/ckpt"
   def ivfIndex(sfDir: String): String = s"${root(sfDir)}/ivf_index"
+  def jsonl(sfDir: String): String = s"${root(sfDir)}/docs_jsonl"
+  def tsv(sfDir: String): String = s"${root(sfDir)}/docs_tsv"
 
   /** Write-if-absent; returns the path. Deterministic content means a
     * reused dump is identical to a fresh one (same Version).
@@ -43,6 +45,12 @@ object Dumps {
   def ensure(path: String)(df: => DataFrame): String = {
     if (!new java.io.File(path + "/_SUCCESS").exists())
       df.coalesce(1).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Write-if-absent with a caller-supplied writer (text/csv sinks). */
+  def ensureWith(path: String)(write: String => Unit): String = {
+    if (!new java.io.File(path + "/_SUCCESS").exists()) write(path)
     path
   }
 

@@ -314,6 +314,41 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- JSON-lines source scan (PubTabDataSet, pubtab_dataset.py:12-113:
+    //      json.loads per line with a fixed schema): the engine WRITES a
+    //      jsonl sink then scans it back with a schema'd json source ----
+    "q_jsonl_scan" -> ((s, dir) => {
+      val path = Dumps.ensureWith(Dumps.jsonl(dir)) { p =>
+        docs(s, dir)
+          .select(to_json(struct(col("doc_id"), col("lang"),
+            col("n_chars"))).as("value"))
+          .coalesce(1).write.mode("overwrite").text(p)
+      }
+      s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- TSV source scan (SimpleDataSet label files,
+    //      simple_dataset.py:99-101: split on delimiter) ----------------
+    "q_tsv_scan" -> ((s, dir) => {
+      val path = Dumps.ensureWith(Dumps.tsv(dir)) { p =>
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .coalesce(1).write.mode("overwrite")
+          .option("sep", "\t").csv(p)
+      }
+      s.read.option("sep", "\t")
+        .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+        .csv(path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+
     // ---- union + deterministic sample (simple_dataset.py:45-57) ---------
     "q_union_sample" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -766,6 +801,21 @@ object SparkEntry {
           |FROM events e JOIN events s
           |  ON s.event_id = e.event_id - e.event_id % 97
           |ORDER BY e.event_id""".stripMargin,
+
+      // ---- engine-written source formats (scanned back by DuckDB) ------
+      "q_jsonl_scan" ->
+        s"""SELECT lang, count(*) AS n,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM read_json('${Dumps.jsonl(o)}/part-*',
+           |  format='newline_delimited',
+           |  columns={'doc_id':'BIGINT','lang':'VARCHAR','n_chars':'BIGINT'})
+           |GROUP BY lang ORDER BY lang""".stripMargin,
+      "q_tsv_scan" ->
+        s"""SELECT source, count(*) AS n,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM read_csv('${Dumps.tsv(o)}/part-*', delim='\t', header=false,
+           |  columns={'doc_id':'BIGINT','lang':'VARCHAR','source':'VARCHAR','n_chars':'BIGINT'})
+           |GROUP BY source ORDER BY source""".stripMargin,
 
       // ---- SQL classics --------------------------------------------------
       "q_union_sample" ->
