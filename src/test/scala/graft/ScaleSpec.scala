@@ -107,6 +107,35 @@ class ScaleSpec extends AnyFunSuite {
       s"row_number()<=k should push a partial top-k below the exchange:\n$plan")
   }
 
+  test("bucketed tables: co-located join runs with ZERO exchanges") {
+    import spark.implicits._
+    // the 100 TB recipe for repeated conv-keyed joins: both sides written
+    // bucketBy(conv_id) + sortBy -> the join needs no shuffle at all
+    val extracted = ExtractPipeline.extract(
+      graft.data.TranscriptGen.tiny(nConvs = 16, cap = 16)
+        .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    extracted.select("conv_id", "turn_idx", "rn", "text")
+      .write.mode("overwrite").bucketBy(4, "conv_id").sortBy("conv_id")
+      .saveAsTable("graft_bucketed_turns")
+    extracted.groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
+      .write.mode("overwrite").bucketBy(4, "conv_id").sortBy("conv_id")
+      .saveAsTable("graft_bucketed_stats")
+    // force the sort-merge path: broadcast would win on this tiny fixture
+    // and hide the bucketing (at 100 TB neither side broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bucketed_turns")
+        .join(spark.table("graft_bucketed_stats"), "conv_id")
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed co-located join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan must actually use the bucket layout:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("flagship plan: extraction is upstream of the one exchange, raw text pruned") {
     import spark.implicits._
     // a parquet source, not a local Seq: ConvertToLocalRelation would
