@@ -446,6 +446,17 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
         .orderBy(col("event_type").asc_nulls_first)),
 
+    // ---- cube / grouping sets (two-dim metric rollup beyond the
+    //      reference's two-level combine, eval_det_iou.py:178-202) -------
+    "q_cube" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("user_bucket", pmod(col("user_id"), lit(4)))
+        .cube(col("event_type"), col("user_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+        .orderBy(col("event_type").asc_nulls_first,
+          col("user_bucket").asc_nulls_first)),
+
     // ---- lag window (turn-context features) ------------------------------
     "q_lag" -> ((s, dir) => {
       val w = Window
@@ -869,6 +880,11 @@ object SparkEntry {
           |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
           |FROM events GROUP BY ROLLUP(event_type)
           |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+      "q_cube" ->
+        """SELECT event_type, user_id % 4 AS user_bucket, count(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+          |FROM events GROUP BY CUBE(event_type, user_id % 4)
+          |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin,
       "q_lag" ->
         """SELECT user_id, event_id, value,
           |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
