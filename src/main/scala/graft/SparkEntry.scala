@@ -192,10 +192,14 @@ object SparkEntry {
         docs(s, dir).filter(
           pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < 2000), 0.25)
         .orderBy(col("id_a"), col("id_b"))),
+    // nPlanes/nTables follow the threshold: at cos >= 0.35 (what this
+    // synthetic corpus supports) p = 1 - theta/pi ~ 0.61, so 4 planes x
+    // 8 tables gives ~0.7 candidate recall where 8x4 (tuned for >= 0.95
+    // near-dups) recalls ~0.08. At a real near-dup threshold flip back.
     "dd_embed_cos" -> ((s, dir) => {
       val cands = s.read.parquet(Dumps.ensure(Dumps.emCands(dir))(
         graft.ops.DedupOps.embeddingCandidates(embs(s, dir),
-          nPlanes = 8, nTables = 4)))
+          nPlanes = 4, nTables = 8)))
       graft.ops.DedupOps.verifyCosine(cands, embs(s, dir), minCos = 0.35)
         .orderBy(col("id_a"), col("id_b"))
     }),

@@ -167,10 +167,15 @@ class OpsSpec extends AnyFunSuite {
         if cos >= 0.35
       } yield (ia, ib)).toSet
     }
-    val lsh = DedupOps.embeddingNearDups(embs, minCos = 0.35)
+    // plane/table choice matched to the 0.35 threshold (see SparkEntry)
+    val lsh = DedupOps.embeddingNearDups(embs, minCos = 0.35,
+        nPlanes = 4, nTables = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.nonEmpty, "LSH found nothing at all")
     assert(lsh.subsetOf(exact), "LSH emitted a pair below the threshold")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"candidate recall $recall too low for 4 planes x 8 tables at cos 0.35")
   }
 
   test("ANN brute force: top-1 of a corpus vector query is itself-free and sane") {
