@@ -18,7 +18,9 @@ import org.apache.spark.sql.DataFrame
   */
 object Dumps {
 
-  val Version = "r2"
+  // bump on ANY kernel/param change that alters dump content — r2b:
+  // dd_embed_cos LSH amplification changed to 4 planes x 8 tables
+  val Version = "r2b"
 
   /** The sf dir the driver's correctness gate runs at — oracle SQL paths
     * are generated against this.
