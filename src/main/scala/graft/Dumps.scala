@@ -18,9 +18,10 @@ import org.apache.spark.sql.DataFrame
   */
 object Dumps {
 
-  // bump on ANY kernel/param change that alters dump content — r2b:
-  // dd_embed_cos LSH amplification changed to 4 planes x 8 tables
-  val Version = "r2b"
+  // bump on ANY kernel/param change that alters dump content — r3a:
+  // N-variant audit adds the turns_v2 dump; embedding-LSH hyperplanes
+  // precomputed (same candidate recipe, new provenance)
+  val Version = "r3a"
 
   /** The sf dir the driver's correctness gate runs at — oracle SQL paths
     * are generated against this.
@@ -30,8 +31,11 @@ object Dumps {
   def root(sfDir: String): String =
     s"/tmp/graft_dump_${Version}_${new java.io.File(sfDir).getName}"
 
-  def turnsA(sfDir: String): String = s"${root(sfDir)}/turns_a"
-  def turnsB(sfDir: String): String = s"${root(sfDir)}/turns_b"
+  /** Extracted turns for variant v (0 = golden default). */
+  def turnsV(sfDir: String, v: Int): String = s"${root(sfDir)}/turns_v$v"
+  def turnsA(sfDir: String): String = turnsV(sfDir, 0)
+  def turnsB(sfDir: String): String = turnsV(sfDir, 1)
+  def fp(sfDir: String): String = s"${root(sfDir)}/fingerprints"
   def blocks(sfDir: String): String = s"${root(sfDir)}/blocks"
   def mhCands(sfDir: String): String = s"${root(sfDir)}/mh_cands"
   def shCands(sfDir: String): String = s"${root(sfDir)}/sh_cands"

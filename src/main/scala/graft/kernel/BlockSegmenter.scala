@@ -24,7 +24,20 @@ object ExtractParams {
   /** A/B audit variant: stricter block gate, less unclip growth. */
   val VariantB: ExtractParams =
     Default.copy(blockThresh = 0.55, growThresh = 0.30)
-  def forVariant(v: Int): ExtractParams = if (v == 1) VariantB else Default
+  /** Third tuning: strictest block gate + tight PAN merge delta. */
+  val VariantC: ExtractParams =
+    Default.copy(blockThresh = 0.65, panLinkDelta = 0.2, minChars = 8)
+
+  /** The N-variant submodel map (distillation_model.py:41-45 runs a DICT
+    * of submodels, db_postprocess.py:197-226 post-processes per key):
+    * variant index -> params. Extend this seq to add a variant; the A/B/C
+    * audit query and the golden suite iterate over it.
+    */
+  val Variants: IndexedSeq[ExtractParams] =
+    IndexedSeq(Default, VariantB, VariantC)
+
+  def forVariant(v: Int): ExtractParams =
+    if (v >= 0 && v < Variants.size) Variants(v) else Default
 }
 
 /** Node scoring + block segmentation + classification — the engine's

@@ -9,8 +9,10 @@ package graft.kernel
   *
   * ORDER IS PINNED (the CTC trap — dedupe BEFORE blank-drop,
   * rec_postprocess.py:43-50): here, control-char mapping happens BEFORE
-  * whitespace collapse, so "a<NUL> <NUL>b" (NUL = 0x00) -> "a b" (control chars first
-  * become removable, then the surrounding spaces collapse to one).
+  * whitespace collapse, so "a<NUL> <NUL>b" (<NUL> spelled out for the raw
+  * 0x00 byte, keeping this file plain text for diff/blame) -> "a b":
+  * control chars first become removable, then the surrounding spaces
+  * collapse to one.
   */
 object TextDecoder {
 

@@ -81,11 +81,22 @@ object Quality {
   /** TrainingStats recast (pytocr/utils/stats.py:27-58): sliding-window
     * MEDIAN smoothing of a per-partition stat over the last `window`
     * rows, via percentile_approx over a rows-window.
+    *
+    * SCALE CONTRACT: with no `partitionCols` this is a GLOBAL ordered
+    * window — Spark moves all rows to one task. That is correct and cheap
+    * for this function's intended input (one row per checkpoint bucket /
+    * stage, i.e. thousands of rows max, like the reference's per-step
+    * stat deque) but must NOT be fed a corpus; pass `partitionCols`
+    * (e.g. the metric key) to keep the window distributed.
     */
   def smoothedMedian(df: DataFrame, orderCol: String, valueCol: String,
-      window: Int = 20): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(orderCol)).rowsBetween(-(window - 1), 0)
+      window: Int = 20, partitionCols: Seq[String] = Nil): DataFrame = {
+    val base =
+      if (partitionCols.isEmpty) org.apache.spark.sql.expressions.Window
+        .orderBy(col(orderCol))
+      else org.apache.spark.sql.expressions.Window
+        .partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = base.rowsBetween(-(window - 1), 0)
     df.withColumn(s"${valueCol}_median",
       percentile_approx(col(valueCol), lit(0.5), lit(10000)).over(w))
   }

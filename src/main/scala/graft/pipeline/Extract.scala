@@ -124,7 +124,14 @@ object ExtractPipeline {
     * Output is BYTE-IDENTICAL to extract() (property-tested): same
     * ordering spec, same kernel, different physical rank.
     */
-  def extractDistributedRank(turns: DataFrame, nPart: Int = 0): DataFrame = {
+  def extractDistributedRank(turns: DataFrame, nPart: Int = 0): DataFrame =
+    distributedRankWith(turns, nPart)._2
+
+  /** Internal: returns (the persisted ranged dataset, the result) so
+    * callers that materialize can release the cache (runDistributedRank).
+    */
+  private def distributedRankWith(turns: DataFrame, nPart: Int)
+      : (org.apache.spark.sql.Dataset[graft.model.Turn], DataFrame) = {
     val spark = turns.sparkSession
     import spark.implicits._
     val p = if (nPart > 0) nPart else spark.sparkContext.defaultParallelism
@@ -187,16 +194,46 @@ object ExtractPipeline {
         if (t.conv_id != curConv) { curConv = t.conv_id; local = 0L }
         local += 1
         val off = bOffsets.value.getOrElse((pid, t.conv_id), 0L)
-        (t, (off + local).toInt)
+        (t, combineRank(off, local))
       }
     }.toDF("t", "rn")
 
-    ranked
+    val result = ranked
       .select(col("t.conv_id").as("conv_id"), col("t.turn_idx").as("turn_idx"),
         col("rn"), Functions.extract_turn(col("t.text")).as("ex"))
       .select(col("conv_id"), col("turn_idx"), col("rn"),
         col("ex.kind").as("kind"), col("ex.text").as("text"),
         col("ex.spans").as("spans"), col("ex.ok").as("ok"))
+    (ranged, result)
+  }
+
+  /** offset + local index -> rn, refusing to wrap: the output schema
+    * carries rn as int for parity with extract()'s row_number, so a
+    * single conversation past 2^31 turns must FAIL LOUDLY, not alias
+    * ranks (this path exists precisely for mega-conversations — widen
+    * the schema deliberately if that contract ever changes).
+    */
+  private[graft] def combineRank(off: Long, local: Long): Int = {
+    val rn = off + local
+    if (rn > Int.MaxValue || rn < 1)
+      throw new ArithmeticException(
+        s"rn $rn overflows the int rank column (off=$off local=$local); " +
+          "widen rn to long before running conversations past 2^31 turns")
+    rn.toInt
+  }
+
+  /** Run-and-unpersist wrapper for extractDistributedRank (batch use):
+    * the ranged dataset MUST stay persisted until the result is
+    * materialized (the rank offsets were computed against its sampled
+    * range layout — a recompute could resample boundaries), so the
+    * lazy entry point cannot unpersist for you; this one materializes
+    * via `action` and then releases the cache.
+    */
+  def runDistributedRank[A](turns: DataFrame, nPart: Int = 0)(
+      action: DataFrame => A): A = {
+    val (ranged, df) = distributedRankWith(turns, nPart)
+    try action(df)
+    finally { ranged.unpersist(blocking = false); () }
   }
 
   /** Per-block rows — the det->rec explode step (run_ocr.py:185-229):

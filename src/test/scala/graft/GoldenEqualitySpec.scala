@@ -48,25 +48,29 @@ class GoldenEqualitySpec extends AnyFunSuite {
       s"${mismatches.size} per-turn mismatches; first: ${mismatches.headOption}")
   }
 
-  test("variant B: per-turn equality against its own golden, and differs from A") {
+  test("every variant: per-turn equality against its own golden, all diverge from A") {
     import spark.implicits._
     val turns = TranscriptGen.tiny(nConvs = 24, cap = 24)
-    val goldenB = turns.groupBy(_.conv_id).flatMap { case (cid, ts) =>
-      ts.sortBy(t => (t.turn_idx, t.ts.getTime)).zipWithIndex.map {
-        case (t, i) =>
-          val r = Extractor.extract(t.text, graft.kernel.ExtractParams.VariantB)
-          (cid, i + 1) -> r.text
-      }
-    }
-    val outB = ExtractPipeline.extractVariant(
-        turns.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"), 1)
-      .select("conv_id", "rn", "text")
-      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2))
-      .toMap
-    assert(outB == goldenB, "variant B pipeline != variant B golden")
     val goldenA = golden(turns).map { case (k, (_, txt)) => k -> txt }
-    assert(goldenA != goldenB.toMap,
-      "variants must actually diverge on this fixture")
+    val variants = graft.kernel.ExtractParams.Variants
+    assert(variants.size >= 3, "N-variant map must carry at least 3 entries")
+    (1 until variants.size).foreach { v =>
+      val goldenV = turns.groupBy(_.conv_id).flatMap { case (cid, ts) =>
+        ts.sortBy(t => (t.turn_idx, t.ts.getTime)).zipWithIndex.map {
+          case (t, i) =>
+            val r = Extractor.extract(t.text, variants(v))
+            (cid, i + 1) -> r.text
+        }
+      }
+      val outV = ExtractPipeline.extractVariant(
+          turns.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"), v)
+        .select("conv_id", "rn", "text")
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2))
+        .toMap
+      assert(outV == goldenV, s"variant $v pipeline != variant $v golden")
+      assert(goldenA != goldenV.toMap,
+        s"variant $v must actually diverge from the default on this fixture")
+    }
   }
 
   test("input row order invariance: shuffled input -> identical output") {

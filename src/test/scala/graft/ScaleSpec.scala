@@ -83,6 +83,33 @@ class ScaleSpec extends AnyFunSuite {
       key(ExtractPipeline.extract(in)))
   }
 
+  test("distributed rank: combineRank refuses int overflow instead of aliasing") {
+    assert(ExtractPipeline.combineRank(0L, 1L) == 1)
+    assert(ExtractPipeline.combineRank(Int.MaxValue - 1L, 1L) == Int.MaxValue)
+    intercept[ArithmeticException] {
+      ExtractPipeline.combineRank(Int.MaxValue.toLong, 1L)
+    }
+    intercept[ArithmeticException] {
+      ExtractPipeline.combineRank(Long.MaxValue, 1L) // wraps negative
+    }
+  }
+
+  test("distributed rank: runDistributedRank releases the range-layout cache") {
+    import spark.implicits._
+    val turns = graft.data.TranscriptGen.tiny(nConvs = 8, cap = 8)
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val cached0 = spark.sparkContext.getPersistentRDDs.size
+    val n = ExtractPipeline.runDistributedRank(turns, nPart = 4)(_.count())
+    assert(n > 0)
+    // unpersist is async (blocking = false); poll briefly
+    var waited = 0
+    while (spark.sparkContext.getPersistentRDDs.size > cached0 && waited < 50) {
+      Thread.sleep(100); waited += 1
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size <= cached0,
+      "ranged dataset cache must be released after the action")
+  }
+
   test("distributed rank: one mega-conversation spans many rank tasks") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_distrank_mega").toString
