@@ -52,7 +52,7 @@ object Bench {
     */
   def benchInput(spark: SparkSession, nConvs: Int, cap: Int): (String, Long) = {
     val path = s"/tmp/graft_bench_transcripts_${nConvs}_$cap"
-    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+    if (!graft.io.FsUtil.successExists(path)) {
       // fixed file count — input layout identical no matter which
       // parallelism level generated it
       SparkEntry.transcripts(spark, nConvs, cap)

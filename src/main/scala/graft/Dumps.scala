@@ -46,27 +46,23 @@ object Dumps {
   def tsv(sfDir: String): String = s"${root(sfDir)}/docs_tsv"
 
   /** Write-if-absent; returns the path. Deterministic content means a
-    * reused dump is identical to a fresh one (same Version).
+    * reused dump is identical to a fresh one (same Version). Existence
+    * goes through the Hadoop FileSystem API so the contract holds on
+    * HDFS/S3 dump roots too, not just local paths.
     */
   def ensure(path: String)(df: => DataFrame): String = {
-    if (!new java.io.File(path + "/_SUCCESS").exists())
+    if (!graft.io.FsUtil.successExists(path))
       df.coalesce(1).write.mode("overwrite").parquet(path)
     path
   }
 
   /** Write-if-absent with a caller-supplied writer (text/csv sinks). */
   def ensureWith(path: String)(write: String => Unit): String = {
-    if (!new java.io.File(path + "/_SUCCESS").exists()) write(path)
+    if (!graft.io.FsUtil.successExists(path)) write(path)
     path
   }
 
   /** Delete the dump root for an sf dir (Verify calls this first). */
-  def clean(sfDir: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    val r = new java.io.File(root(sfDir))
-    if (r.exists()) rm(r)
-  }
+  def clean(sfDir: String): Unit =
+    graft.io.FsUtil.deleteRecursive(root(sfDir))
 }

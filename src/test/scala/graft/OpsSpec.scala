@@ -149,6 +149,37 @@ class OpsSpec extends AnyFunSuite {
       .collect().length == 15)
   }
 
+  test("precomputed hyperplane signs == the per-row xxhash64 recipe, bit-identical buckets") {
+    // the round-2 recipe hashed (table, plane, i) per vector component per
+    // row; the sign matrix must reproduce it EXACTLY or the candidate set
+    // silently drifts (Dumps.Version r3a)
+    val nPlanes = 4; val nTables = 8
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    val signs = DedupOps.hyperplaneSigns(nTables, nPlanes, dim)
+    def oldTableKey(t: Int) = (0 until nPlanes).map { p =>
+      val dotCol = aggregate(
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (v, i) => v * when(
+            pmod(xxhash64(lit(t), lit(p), i), lit(2)) === 0, lit(1.0))
+            .otherwise(lit(-1.0))),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dotCol >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
+    }.reduce(_ + _)
+    def newTableKey(t: Int) = (0 until nPlanes).map { p =>
+      val dotCol = aggregate(
+        zip_with(col("embedding"), lit(signs(t)(p)), (v, s) => v * s),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dotCol >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
+    }.reduce(_ + _)
+    val diff = embs.select(
+      array((0 until nTables).map(oldTableKey): _*).as("old_keys"),
+      array((0 until nTables).map(newTableKey): _*).as("new_keys"))
+      .filter(col("old_keys") =!= col("new_keys"))
+      .count()
+    assert(diff == 0, s"$diff rows bucket differently under precomputed signs")
+  }
+
   test("embedding near-dups: verified pairs subset of exact-cos pairs") {
     val exact = {
       val e = embs.select(col("vec_id"), col("embedding")).collect()
@@ -216,7 +247,7 @@ class OpsSpec extends AnyFunSuite {
     assert(cents.length == 8)
     val assigned = embs.select(col("vec_id"), col("embedding"))
       .withColumn("centroid_id", SimilarityOps.nearestCentroid(
-        col("embedding"), SimilarityOps.centroidArray(cents)))
+        col("embedding"), SimilarityOps.broadcastCentroids(spark, cents)))
     val plan = assigned.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"nearest-centroid assignment must be a narrow map:\n$plan")
@@ -238,6 +269,46 @@ class OpsSpec extends AnyFunSuite {
       val best = cents.map { case (cid, cemb) => (-cos(v, cemb), cid) }.min._2
       assert(r.getLong(2) == best)
     }
+  }
+
+  test("ANN IVF: 4096 broadcast centroids assign narrow, codegen'd, no plan bloat") {
+    // the round-2 literal representation capped k at ~10^3 (plan/codegen
+    // bloat); the broadcast path must hold the same plan shape at 4096
+    val dim = 16
+    val cents = Array.tabulate(4096) { i =>
+      (i.toLong, Array.tabulate(dim)(d =>
+        (((i * 31 + d * 7) % 97) - 48).toFloat / 48f))
+    }
+    val bc = SimilarityOps.broadcastCentroids(spark, cents)
+    val assigned = embs.select(col("vec_id"), col("embedding"))
+      .withColumn("centroid_id",
+        SimilarityOps.nearestCentroid(col("embedding"), bc))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must stay narrow:\n$plan")
+    assert(plan.contains("*("),
+      s"assignment must run inside WholeStageCodegen (no fallback):\n$plan")
+    assert(plan.length < 20000,
+      s"plan string must not embed the centroid payload (len ${plan.length})")
+    // and it actually executes (forces codegen compilation)
+    assert(assigned.limit(20).collect().forall(_.getLong(2) >= 0L))
+  }
+
+  test("ANN IVF: stale index dir is rebuilt when the fingerprint mismatches") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivf_meta_test").toString + "/index"
+    val queries = embs.filter(col("vec_id") === 0)
+    // build at 8 centroids, then call at 16: the _SUCCESS marker exists
+    // but the fingerprint differs -> must rebuild, not probe stale cells
+    SimilarityOps.ivfTopK(spark, embs, queries, base, k = 3,
+      nProbe = 4, nCentroids = 8).collect()
+    val out16 = SimilarityOps.ivfTopK(spark, embs, queries, base, k = 3,
+      nProbe = 16, nCentroids = 16).collect()
+    // with nProbe == nCentroids the probe covers every cell -> results
+    // must equal brute force; a stale 8-centroid index would break this
+    val brute = SimilarityOps.bruteForceTopK(embs, queries, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(out16.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+      .toSet == brute)
   }
 
   test("multimodal: stub decode roundtrips the synthesized header") {
