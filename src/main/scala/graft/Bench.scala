@@ -70,6 +70,30 @@ object Bench {
     (sec, nTurns / sec)
   }
 
+  /** Single-thread spin-rate probe (million splitmix64 mixes/sec): the
+    * host-steal CONTROL. The loop's rate on an unloaded core is stable
+    * run-to-run; CPU steal on this shared-host VM depresses it in direct
+    * proportion. Probes run before and between the measured passes so a
+    * contaminated measurement window is machine-detectable from the
+    * bench JSON itself (two rounds running, the driver's recorded number
+    * landed in a stolen window and had to be argued after the fact).
+    */
+  def spinProbeMops(iters: Long = 150000000L): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var i = 0L
+    while (i < iters) {
+      x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+      x ^= x >>> 27; x *= 0x94D049BB133111EBL
+      x ^= x >>> 31
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    // consume x so the JIT cannot dead-code the loop
+    if (x == 42L) System.err.print("")
+    iters / sec / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -83,13 +107,27 @@ object Bench {
     val spark = makeSpark(cpus)
 
     val (path, nTurns) = benchInput(spark, nConvs, cap)
-    // JIT/codegen warmup on a slice, then two measured passes — the
-    // FLOOR is the claim (shared-host CPU steal only ever slows a pass
-    // down; see BENCH.md noise protocol), both passes reported raw
+    // JIT/codegen warmup on a slice, then N measured passes (default 4) —
+    // the FLOOR is the claim (shared-host CPU steal only ever slows a
+    // pass down; see BENCH.md noise protocol), all passes reported raw.
+    // A spin probe brackets every pass: if the probe rate sags, the
+    // window was stolen and steal_suspect flags the whole measurement.
     forceAll(ExtractPipeline.extract(
       spark.read.parquet(path).limit(20000)))
-    val passes = Seq.fill(2)(timeExtraction(spark, path, nTurns))
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "4").toInt
+    spinProbeMops(1000000L) // JIT the probe loop itself
+    val probes = scala.collection.mutable.ArrayBuffer(spinProbeMops())
+    val passes = (1 to nPasses).map { _ =>
+      val r = timeExtraction(spark, path, nTurns)
+      probes += spinProbeMops()
+      r
+    }
     val (exSec, tps) = passes.minBy(_._1)
+    // contamination heuristics: pass spread beyond 1.4x, or the
+    // single-thread control sagging below 75% of its window max
+    val passSpread = passes.map(_._1).max / passes.map(_._1).min
+    val probeSag = probes.min / probes.max
+    val stealSuspect = passSpread > 1.4 || probeSag < 0.75
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -101,8 +139,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = exSec + results.map(_._2).filter(_ > 0).sum
     val passJson = passes.map(p => f"${p._2}%.0f").mkString("[", ",", "]")
+    val probeJson = probes.map(p => f"$p%.1f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","extract_sec":$exSec%.3f,"turns_per_sec":$tps%.0f,"pass_tps":$passJson%s,"n_turns":$nTurns%d,"cpus":$cpus%s,"n_convs":$nConvs%d}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","extract_sec":$exSec%.3f,"turns_per_sec":$tps%.0f,"pass_tps":$passJson%s,"spin_probe_mops":$probeJson%s,"steal_suspect":$stealSuspect%s,"n_turns":$nTurns%d,"cpus":$cpus%s,"n_convs":$nConvs%d}""")
     spark.stop()
   }
 }

@@ -249,6 +249,12 @@ object SparkEntry {
       out
     }),
 
+    // ---- width-bucketed work equalization observable (the reference's
+    //      RecResizeImgForTest sort-by-width batching, rec_img_aug.py:
+    //      55-106; the equalizer itself is plan-tested in ScaleSpec) ----
+    "q_width_bucket" -> ((s, dir) =>
+      graft.ops.Rebalance.bucketHistogram(docs(s, dir))),
+
     // ---- multimodal plumbing (stubbed decode, real schema/batching) ----
     "mm_features" -> ((s, dir) =>
       graft.ops.MultimodalOps.mediaFeatures(s, docs(s, dir))),
@@ -779,6 +785,11 @@ object SparkEntry {
            |JOIN read_parquet('${Dumps.fp(o)}/*.parquet') s
            |  ON s.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+
+      "q_width_bucket" ->
+        """SELECT CAST(least(floor(length(text) / 200.0), 12) AS INT) AS len_bucket,
+          |  count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_chars
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // ---- multimodal (header fields + mean byte are closed-form SQL of
       //      doc_id/text for the synthesized payloads; ASCII corpus) -----

@@ -111,46 +111,65 @@ object DedupOps {
     verifyJaccard(minhashCandidates(docs, minJaccard, maxBucket),
       eligibleDocs(docs), minJaccard)
 
-  /** SimHash near-dup CANDIDATE pairs via generalized pigeonhole banding:
-    * the 64-bit fingerprint is cut into (maxHamming + 1) near-equal-width
-    * chunks — any pair at hamming distance <= maxHamming must agree on at
-    * least one whole chunk (pigeonhole), so bucketing per chunk has
-    * perfect recall at the target radius. (The round-1 fixed-4-chunk
-    * version silently lost pairs at distance 4-6; now the chunk count
-    * follows the radius.)
+  /** The banded (doc_id, sh, chunk_idx, chunk_key) rows for simhash LSH.
     *
-    * Scale notes: chunk width shrinks as the radius grows
-    * (ceil(64/(h+1)) bits), so the key space per chunk shrinks — at
-    * >= 10^9 docs with h > 3, single-chunk keys get crowded; the standard
-    * fix is prefix extension (band on chunk_i + a few bits of chunk_i+1,
-    * trading recall for selectivity — HmSearch). In-sandbox the
-    * `maxBucket` valve bounds the damage the same way minhash's does:
-    * a bucket of B docs costs B^2/2 pairs, so mega-buckets (boilerplate
-    * clusters, near-constant fingerprints) are dropped — they are exact
-    * dedup's job.
+    * pairBands = false (default): generalized pigeonhole banding — the
+    * 64-bit fingerprint is cut into (maxHamming + 1) near-equal-width
+    * chunks; any pair at hamming <= maxHamming must agree on at least one
+    * whole chunk, so bucketing per chunk has perfect recall at the
+    * radius. (The round-1 fixed-4-chunk version silently lost pairs at
+    * distance 4-6; the chunk count follows the radius.)
+    *
+    * pairBands = true (the HmSearch-style extension for crowded key
+    * spaces, >= 10^9 docs at h > 3): cut into (maxHamming + 2) chunks and
+    * band on every PAIR of chunks, key = chunk_i concat chunk_j. With
+    * <= h errors across h+2 chunks at least TWO chunks are error-free
+    * (pigeonhole again), so some pair band matches — recall stays FULL at
+    * the radius, unlike a naive prefix extension which trades recall
+    * away. The key is ~2x wider (64/(h+2) bits per half), shrinking
+    * buckets quadratically in the key-space crowding, for C(h+2,2)
+    * bands instead of h+1 — more exploded rows, each far more selective.
     */
-  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
+  private[graft] def simhashBands(docs: DataFrame, maxHamming: Int,
+      pairBands: Boolean): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15, "radius 0..15 supported")
-    val nChunks = maxHamming + 1
+    val nChunks = if (pairBands) maxHamming + 2 else maxHamming + 1
     // all-whitespace texts hash to simhash 0 and would form one
     // quadratic chunk bucket at scale — same guard family as minhash
     val hashed = docs.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), simhash64(col("text")).as("sh"))
-    val chunkStructs = (0 until nChunks).map { i =>
+    def chunkKey(i: Int) = {
       val off = i * 64 / nChunks
       val width = (i + 1) * 64 / nChunks - off
       val mask = if (width == 64) -1L else (1L << width) - 1L
-      struct(lit(i).as("chunk_idx"),
-        shiftrightunsigned(col("sh"), off).bitwiseAND(lit(mask))
-          .as("chunk_key"))
+      shiftrightunsigned(col("sh"), off).bitwiseAND(lit(mask))
     }
-    val chunked = hashed
+    val bandStructs: Seq[org.apache.spark.sql.Column] =
+      if (!pairBands) (0 until nChunks).map { i =>
+        struct(lit(i).as("chunk_idx"), chunkKey(i).as("chunk_key"))
+      }
+      else for { i <- 0 until nChunks; j <- (i + 1) until nChunks } yield
+        // both halves are <= 32 bits wide (nChunks >= 2), so the pair
+        // key packs losslessly into one long
+        struct(lit(i * nChunks + j).as("chunk_idx"),
+          shiftleft(chunkKey(i), 32).bitwiseOR(chunkKey(j)).as("chunk_key"))
+    hashed
       .select(col("doc_id"), col("sh"),
-        explode(array(chunkStructs: _*)).as("c"))
+        explode(array(bandStructs: _*)).as("c"))
       .select(col("doc_id"), col("sh"),
         col("c.chunk_idx").as("chunk_idx"),
         col("c.chunk_key").as("chunk_key"))
+  }
+
+  /** SimHash near-dup CANDIDATE pairs (see simhashBands for the two
+    * banding schemes). In-sandbox the `maxBucket` valve bounds damage the
+    * same way minhash's does: a bucket of B docs costs B^2/2 pairs, so
+    * mega-buckets (boilerplate clusters, near-constant fingerprints) are
+    * dropped — they are exact dedup's job.
+    */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000, pairBands: Boolean = false): DataFrame = {
+    val chunked = simhashBands(docs, maxHamming, pairBands)
     // bucket-size valve (B <= maxBucket) — identical role to minhash's
     val bucketSizes = chunked.groupBy(col("chunk_idx"), col("chunk_key"))
       .agg(count(lit(1)).as("bsize"))
@@ -170,8 +189,9 @@ object DedupOps {
     * bit_count(sh_a XOR sh_b) <= maxHamming.
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame =
-    verifyHamming(simhashCandidates(docs, maxHamming, maxBucket), maxHamming)
+      maxBucket: Int = 10000, pairBands: Boolean = false): DataFrame =
+    verifyHamming(
+      simhashCandidates(docs, maxHamming, maxBucket, pairBands), maxHamming)
 
   def verifyHamming(cands: DataFrame, maxHamming: Int): DataFrame =
     cands

@@ -134,6 +134,48 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash pair-band extension: STILL full recall at radius 6 (2-of-(h+2) pigeonhole)") {
+    // the crowded-keyspace extension must not trade recall away: with
+    // h+2 chunks and <= h errors, at least two chunks are error-free,
+    // so banding on chunk PAIRS keeps the full-recall guarantee
+    for (radius <- Seq(3, 6)) {
+      val sh = docs.select(col("doc_id"),
+          graft.expr.Functions.simhash64(col("text")).as("sh"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val brute = (for {
+        (ia, sa) <- sh; (ib, sb) <- sh
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= radius
+      } yield (ia, ib)).toSet
+      val ext = DedupOps.simhashNearDups(docs, maxHamming = radius,
+          pairBands = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(ext == brute,
+        s"radius $radius pairBands: ${ext.size} pairs vs brute ${brute.size}")
+    }
+  }
+
+  test("simhash pair-band extension: buckets measurably smaller than plain chunks") {
+    // radius 6 on the sf0.01 corpus: plain banding keys are ~9 bits wide
+    // (64/7) so 5k docs crowd them; pair bands are ~18 bits — the whole
+    // point of the extension is a smaller collision mass per band
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def collisionMass(pairBands: Boolean): (Long, Long) = {
+      val sizes = DedupOps.simhashBands(d, maxHamming = 6, pairBands)
+        .groupBy(col("chunk_idx"), col("chunk_key"))
+        .agg(count(lit(1)).as("bsize"))
+        .agg(max(col("bsize")).as("mx"),
+          sum((col("bsize") * (col("bsize") - 1) / 2).cast("long")).as("pairs"))
+        .head()
+      (sizes.getLong(0), sizes.getLong(1))
+    }
+    val (plainMax, plainPairs) = collisionMass(pairBands = false)
+    val (extMax, extPairs) = collisionMass(pairBands = true)
+    assert(extMax <= plainMax,
+      s"max bucket grew: $plainMax -> $extMax")
+    assert(extPairs < plainPairs,
+      s"candidate-pair mass must shrink: $plainPairs -> $extPairs")
+  }
+
   test("simhash/minhash bucket valve: mega-bucket dropped, not exploded") {
     import spark.implicits._
     // 6 identical docs -> every chunk bucket has size 6 > maxBucket=3 ->

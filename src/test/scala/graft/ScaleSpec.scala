@@ -125,6 +125,36 @@ class ScaleSpec extends AnyFunSuite {
       "rn must be the dense 1..N rank despite the conv spanning tasks")
   }
 
+  test("width-bucket equalizer: length-clustered input -> balanced per-partition work") {
+    import spark.implicits._
+    // a length-CLUSTERED layout (sorted dumps / per-source files): range
+    // partitioning by length puts every heavy row in one partition
+    val docs = ((0 until 900).map(i => (i.toLong, "x" * 10)) ++
+      (900 until 1000).map(i => (i.toLong, "y" * 2000)))
+      .toDF("doc_id", "text")
+    val skewed = docs.repartitionByRange(8, length(col("text")), col("doc_id"))
+    def maxOverMedian(work: Array[Long]): Double = {
+      val s = work.sorted
+      s.last.toDouble / math.max(1L, s(s.length / 2))
+    }
+    val before = maxOverMedian(
+      graft.ops.Rebalance.partitionWork(skewed, length(col("text"))))
+    val after = maxOverMedian(graft.ops.Rebalance.partitionWork(
+      graft.ops.Rebalance.equalizeByLength(
+        skewed, length(col("text")), Seq(col("doc_id")), 8),
+      length(col("text"))))
+    // 100 x 2000-char rows vs 900 x 10-char: clustered ~ one partition
+    // owns ~200k chars vs median ~1-2k; equalized ~ every partition
+    // carries ~26k. The ratio must collapse.
+    assert(before > 10.0, s"fixture not skewed enough (ratio $before)")
+    assert(after < 3.0, s"equalizer left imbalance (ratio $after)")
+    assert(before / after > 5.0,
+      s"equalizer must shrink max/median work: $before -> $after")
+    // row content unchanged
+    assert(graft.ops.Rebalance.equalizeByLength(
+      skewed, length(col("text")), Seq(col("doc_id")), 8).count() == 1000)
+  }
+
   test("brute-force ANN: rank filter compiles to WindowGroupLimit (partial top-k)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(pmod(col("vec_id"), lit(101)) === 0)
