@@ -94,6 +94,22 @@ object Bench {
     iters / sec / 1e6
   }
 
+  /** All-cores spin probe: `threads` concurrent splitmix loops, AGGREGATE
+    * mops. The single-thread probe misses steal that only bites at full
+    * width (another tenant taking half the host's cores leaves one core
+    * fast); this one measures the aggregate CPU actually available to a
+    * 32-wide stage.
+    */
+  def parallelSpinMops(threads: Int, itersPerThread: Long = 40000000L): Double = {
+    val rates = new Array[Double](threads)
+    val ts = (0 until threads).map { i =>
+      val t = new Thread(() => rates(i) = spinProbeMops(itersPerThread))
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    rates.sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -116,18 +132,23 @@ object Bench {
       spark.read.parquet(path).limit(20000)))
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "4").toInt
     spinProbeMops(1000000L) // JIT the probe loop itself
+    val nThreads = cpus.toInt
     val probes = scala.collection.mutable.ArrayBuffer(spinProbeMops())
+    val parProbes = scala.collection.mutable.ArrayBuffer(
+      parallelSpinMops(nThreads))
     val passes = (1 to nPasses).map { _ =>
       val r = timeExtraction(spark, path, nTurns)
       probes += spinProbeMops()
+      parProbes += parallelSpinMops(nThreads)
       r
     }
     val (exSec, tps) = passes.minBy(_._1)
-    // contamination heuristics: pass spread beyond 1.4x, or the
-    // single-thread control sagging below 75% of its window max
+    // contamination heuristics: pass spread beyond 1.4x, or either CPU
+    // control (1-thread / all-cores aggregate) sagging within the window
     val passSpread = passes.map(_._1).max / passes.map(_._1).min
     val probeSag = probes.min / probes.max
-    val stealSuspect = passSpread > 1.4 || probeSag < 0.75
+    val parSag = parProbes.min / parProbes.max
+    val stealSuspect = passSpread > 1.4 || probeSag < 0.75 || parSag < 0.7
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -140,8 +161,9 @@ object Bench {
     val total = exSec + results.map(_._2).filter(_ > 0).sum
     val passJson = passes.map(p => f"${p._2}%.0f").mkString("[", ",", "]")
     val probeJson = probes.map(p => f"$p%.1f").mkString("[", ",", "]")
+    val parJson = parProbes.map(p => f"$p%.0f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","extract_sec":$exSec%.3f,"turns_per_sec":$tps%.0f,"pass_tps":$passJson%s,"spin_probe_mops":$probeJson%s,"steal_suspect":$stealSuspect%s,"n_turns":$nTurns%d,"cpus":$cpus%s,"n_convs":$nConvs%d}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","extract_sec":$exSec%.3f,"turns_per_sec":$tps%.0f,"pass_tps":$passJson%s,"spin_probe_mops":$probeJson%s,"spin_par_mops":$parJson%s,"steal_suspect":$stealSuspect%s,"n_turns":$nTurns%d,"cpus":$cpus%s,"n_convs":$nConvs%d}""")
     spark.stop()
   }
 }
