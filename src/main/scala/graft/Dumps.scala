@@ -39,6 +39,7 @@ object Dumps {
   def blocks(sfDir: String): String = s"${root(sfDir)}/blocks"
   def mhCands(sfDir: String): String = s"${root(sfDir)}/mh_cands"
   def shCands(sfDir: String): String = s"${root(sfDir)}/sh_cands"
+  def shCandsExt(sfDir: String): String = s"${root(sfDir)}/sh_cands_ext"
   def emCands(sfDir: String): String = s"${root(sfDir)}/em_cands"
   def ckpt(sfDir: String): String = s"${root(sfDir)}/ckpt"
   def ivfIndex(sfDir: String): String = s"${root(sfDir)}/ivf_index"

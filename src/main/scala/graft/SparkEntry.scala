@@ -192,6 +192,16 @@ object SparkEntry {
       graft.ops.DedupOps.verifyHamming(cands, maxHamming = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // the crowded-keyspace pair-band extension as a first-class driver
+    // query: radius 6, chunk-PAIR banding (full recall by 2-of-(h+2)
+    // pigeonhole), same dump-based oracle shape as dd_simhash
+    "dd_simhash_ext" -> ((s, dir) => {
+      val cands = s.read.parquet(Dumps.ensure(Dumps.shCandsExt(dir))(
+        graft.ops.DedupOps.simhashCandidates(docs(s, dir), maxHamming = 6,
+          pairBands = true)))
+      graft.ops.DedupOps.verifyHamming(cands, maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // quadratic baseline: subset capped so cost stays bounded at any sf
     // (the exact all-pairs path is a validation tool, not a scale path)
     "dd_jaccard_exact" -> ((s, dir) =>
@@ -620,6 +630,12 @@ object SparkEntry {
            |  CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
            |FROM read_parquet('${Dumps.shCands(o)}/*.parquet')
            |WHERE bit_count(xor(sh_a, sh_b)) <= 4
+           |ORDER BY id_a, id_b""".stripMargin,
+      "dd_simhash_ext" ->
+        s"""SELECT id_a, id_b,
+           |  CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+           |FROM read_parquet('${Dumps.shCandsExt(o)}/*.parquet')
+           |WHERE bit_count(xor(sh_a, sh_b)) <= 6
            |ORDER BY id_a, id_b""".stripMargin,
       "dd_jaccard_exact" ->
         s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents

@@ -131,15 +131,17 @@ object SimilarityOps {
     val dim = cents.head._2.length
     var cur = cents
     for (_ <- 1 to iters) {
+      val bc = broadcastCentroids(spark, cur)
       val assigned = corpus
-        .select(
-          nearestCentroid(col("embedding"),
-            broadcastCentroids(spark, cur)).as("cid"),
+        .select(nearestCentroid(col("embedding"), bc).as("cid"),
           col("embedding"))
         .as[(Long, Array[Float])]
       val sums = assigned.groupByKey(_._1)
         .agg(new DirSumAgg(dim).toColumn.name("dir"))
         .collect().toMap
+      // each Lloyd iteration ships a fresh centroid set; release the
+      // previous one eagerly instead of waiting on the ContextCleaner
+      bc.destroy()
       cur = cur.map { case (cid, old) =>
         sums.get(cid) match {
           case Some(dir) if dir.exists(_ != 0f) => (cid, dir)
