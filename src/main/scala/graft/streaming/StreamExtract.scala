@@ -47,6 +47,21 @@ object StreamExtract {
       .agg(count(lit(1)).as("turns"),
         sum(length(col("text"))).as("chars"))
 
+  /** Streaming exact dedup: the first row carrying each content hash
+    * within the watermark horizon passes; later duplicates are dropped —
+    * the streaming flavor of DedupOps.exactDedup for a continuously
+    * appended corpus. State is ONE 16-byte md5 key per distinct payload
+    * inside the horizon (map-side hashed; the payload itself never
+    * enters state), expired by the watermark — bounded no matter how
+    * long the stream runs; RocksDB-backed on a real cluster.
+    */
+  def streamDedupExact(rows: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", horizon: String = "10 minutes"): DataFrame =
+    rows
+      .withColumn("text_md5", md5(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   // --- custom state: streaming conversation-session assembly ------------
 
   final case class TurnEvent(conv_id: String, turn_idx: Int,

@@ -83,6 +83,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: one survivor per content hash, none lost") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_dedup").toString
+    val base = TranscriptGen.BaseEpochMs
+    // 3 distinct payloads, each duplicated across conversations
+    val rows = for {
+      (txt, nDup) <- Seq(("alpha payload text", 3),
+        ("beta payload text", 2), ("gamma payload text", 1))
+      i <- 0 until nDup
+    } yield (s"conv-$txt-$i", i, "user", txt, null: String,
+      new java.sql.Timestamp(base + i * 1000L))
+    rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .write.mode("overwrite").parquet(dir)
+
+    val q = StreamExtract.streamDedupExact(
+        spark.readStream.schema(StreamExtract.turnSchema).parquet(dir))
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("SELECT text, text_md5 FROM stream_dedup").collect()
+      // exactly one survivor per distinct payload, hashes distinct
+      assert(out.length == 3, s"expected 3 survivors, got ${out.length}")
+      assert(out.map(_.getString(0)).toSet ==
+        Set("alpha payload text", "beta payload text", "gamma payload text"))
+      assert(out.map(_.getString(1)).distinct.length == 3)
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation produces per-kind counts") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream_agg").toString
