@@ -23,23 +23,29 @@ object ScalingBench {
 
     val warmed = scala.collection.mutable.Set.empty[Int]
     var nTurns = 0L
-    def passAt(cpus: Int): (Double, Double) = {
+    // every measured pass is bracketed by an all-cores spin probe (the
+    // same host-steal control Bench embeds): a loaded window is
+    // machine-readable from the JSON instead of argued from tps shape
+    val probeThreads = levels.max
+    def passAt(cpus: Int): (Double, Double, Double) = {
       val spark = Bench.makeSpark(cpus.toString)
       val (path, n) = Bench.benchInput(spark, nConvs, cap)
       nTurns = n
       if (!warmed.contains(cpus)) {
+        Bench.spinProbeMops(1000000L) // JIT the probe loop
         Bench.timeExtraction(spark, path, n) // JIT/codegen/page-cache warmup
         warmed += cpus
       }
+      val probe = Bench.parallelSpinMops(probeThreads)
       val r = Bench.timeExtraction(spark, path, n)
       spark.stop()
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
-      r
+      (r._1, r._2, probe)
     }
 
-    val rounds: Seq[Seq[(Int, Double, Double)]] = (1 to passes).map { _ =>
-      levels.map { l => val (sec, tps) = passAt(l); (l, sec, tps) }
+    val rounds: Seq[Seq[(Int, Double, Double, Double)]] = (1 to passes).map { _ =>
+      levels.map { l => val (sec, tps, probe) = passAt(l); (l, sec, tps, probe) }
     }
     val floor: Map[Int, (Double, Double)] = levels.map { l =>
       l -> rounds.flatten.filter(_._1 == l).map(t => (t._2, t._3)).minBy(_._1)
@@ -52,11 +58,16 @@ object ScalingBench {
     val raw = rounds.zipWithIndex.map { case (r, i) =>
       "\"round" + i + "\":" + r.map(t => f"${t._3}%.0f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val probesJson = rounds.zipWithIndex.map { case (r, i) =>
+      "\"round" + i + "\":" + r.map(t => f"${t._4}%.0f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val allProbes = rounds.flatten.map(_._4)
+    val windowClean = allProbes.min / allProbes.max >= 0.7
     val pairs = levels.filter(l => levels.contains(l * 4)).map { n =>
       val eff = (floor(n * 4)._2 / floor(n)._2) / 4
       "\"" + n + "->" + (n * 4) + "\":" + f"$eff%.3f"
     }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"scaling_efficiency","unit":"ratio","n_turns":$nTurns,"levels":[${levels.mkString(",")}],"tps":$tpsJson,"sec":$secJson,"efficiency":$pairs,"raw_tps":$raw}""")
+      s"""{"metric":"scaling_efficiency","unit":"ratio","n_turns":$nTurns,"levels":[${levels.mkString(",")}],"tps":$tpsJson,"sec":$secJson,"efficiency":$pairs,"raw_tps":$raw,"spin_par_mops":$probesJson,"window_clean":$windowClean}""")
   }
 }
