@@ -150,6 +150,17 @@ object SparkEntry {
           col("len_delta"), col("is_best"))
         .orderBy(col("variant"))
     }),
+    // the fully distributed rank path (no per-conversation window task)
+    // must be BYTE-EQUAL to the window rank: the oracle reads the
+    // window-path dump, so the DuckDB hash check pins the two physical
+    // plans to each other (ScaleSpec asserts it in-JVM; this makes it a
+    // driver-gate row). The one-shot Verify/Bench sessions tolerate the
+    // path's documented persist.
+    "x_dist_rank" -> ((s, dir) => {
+      Dumps.ensure(Dumps.turnsA(dir))(driverSafeTurns(extractedA(s)))
+      driverSafeTurns(ExtractPipeline.extractDistributedRank(
+        transcripts(s, 256, 64), nPart = 7))
+    }),
     // rollup over extraction metrics by payload kind (SURVEY §2.8's
     // "rollup over metrics" extra; NULL kind row = corpus totals)
     "x_kind_rollup" -> ((s, dir) => {
@@ -590,6 +601,10 @@ object SparkEntry {
            |  CAST(n_exact AS DOUBLE) / n AS acc, len_delta,
            |  CAST(n_exact AS DOUBLE) / n = best_acc AS is_best
            |FROM g CROSS JOIN b ORDER BY variant""".stripMargin,
+      "x_dist_rank" ->
+        s"""SELECT conv_id, turn_idx, rn, kind, text, spans_json, n_spans, ok
+           |FROM read_parquet('${Dumps.turnsA(o)}/*.parquet')
+           |ORDER BY conv_id, turn_idx, rn""".stripMargin,
       "x_kind_rollup" ->
         s"""SELECT kind, count(*) AS turns,
            |  CAST(sum(length(text)) AS BIGINT) AS chars,

@@ -67,8 +67,8 @@ object ExtractPipeline {
   def extract(turns: DataFrame): DataFrame = extractVariant(turns, 0)
 
   /** Variant-parameterized extraction (DistillationModel A/B analogue,
-    * distillation_model.py:13-45): variant 0 = golden default params,
-    * 1 = ExtractParams.VariantB.
+    * distillation_model.py:13-45): `variant` indexes the N-entry
+    * ExtractParams.Variants map (0 = golden default params).
     */
   def extractVariant(turns: DataFrame, variant: Int): DataFrame = {
     turns
