@@ -47,6 +47,10 @@ object ScalingBench {
     val rounds: Seq[Seq[(Int, Double, Double, Double)]] = (1 to passes).map { _ =>
       levels.map { l => val (sec, tps, probe) = passAt(l); (l, sec, tps, probe) }
     }
+    // trailing probe: the per-pass probes run BEFORE each pass, so steal
+    // starting during the final pass would otherwise be invisible and a
+    // stolen window could read as clean — bracket the last pass too
+    val finalProbe = Bench.parallelSpinMops(probeThreads)
     val floor: Map[Int, (Double, Double)] = levels.map { l =>
       l -> rounds.flatten.filter(_._1 == l).map(t => (t._2, t._3)).minBy(_._1)
     }.toMap
@@ -61,13 +65,13 @@ object ScalingBench {
     val probesJson = rounds.zipWithIndex.map { case (r, i) =>
       "\"round" + i + "\":" + r.map(t => f"${t._4}%.0f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val allProbes = rounds.flatten.map(_._4)
+    val allProbes = rounds.flatten.map(_._4) :+ finalProbe
     val windowClean = allProbes.min / allProbes.max >= 0.7
     val pairs = levels.filter(l => levels.contains(l * 4)).map { n =>
       val eff = (floor(n * 4)._2 / floor(n)._2) / 4
       "\"" + n + "->" + (n * 4) + "\":" + f"$eff%.3f"
     }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"scaling_efficiency","unit":"ratio","n_turns":$nTurns,"levels":[${levels.mkString(",")}],"tps":$tpsJson,"sec":$secJson,"efficiency":$pairs,"raw_tps":$raw,"spin_par_mops":$probesJson,"window_clean":$windowClean}""")
+      s"""{"metric":"scaling_efficiency","unit":"ratio","n_turns":$nTurns,"levels":[${levels.mkString(",")}],"tps":$tpsJson,"sec":$secJson,"efficiency":$pairs,"raw_tps":$raw,"spin_par_mops":$probesJson,"final_probe_mops":${f"$finalProbe%.0f"},"window_clean":$windowClean}""")
   }
 }

@@ -577,20 +577,29 @@ object SparkEntry {
         s"""SELECT conv_id, turn_idx, rn, kind
            |FROM read_parquet('${Dumps.turnsA(o)}/*.parquet')
            |WHERE NOT ok ORDER BY conv_id, turn_idx, rn""".stripMargin,
-      "x_ab_audit" ->
+      // generated from ExtractParams.Variants so the oracle tracks the
+      // Spark side when the variant map is extended (both iterate the
+      // same seq — the N-extensibility holds on BOTH sides of the gate)
+      "x_ab_audit" -> {
+        val nVar = graft.kernel.ExtractParams.Variants.size
+        val joins = (0 until nVar).map { v =>
+          val alias = s"t$v"
+          if (v == 0)
+            s"  FROM read_parquet('${Dumps.turnsV(o, v)}/*.parquet') $alias"
+          else
+            s"""  JOIN read_parquet('${Dumps.turnsV(o, v)}/*.parquet') $alias
+               |    USING (conv_id, turn_idx, rn)""".stripMargin
+        }.mkString("\n")
+        val sel = (0 until nVar).map(v => s"t$v.text AS text_$v")
+          .mkString(", ")
+        val unions = (0 until nVar).map { v =>
+          s"  SELECT '${('A' + v).toChar}' AS variant, text_$v AS pred, text_0 AS ref FROM j"
+        }.mkString("\n  UNION ALL\n")
         s"""WITH j AS (
-           |  SELECT a.text AS text_0, b.text AS text_1, c.text AS text_2
-           |  FROM read_parquet('${Dumps.turnsV(o, 0)}/*.parquet') a
-           |  JOIN read_parquet('${Dumps.turnsV(o, 1)}/*.parquet') b
-           |    USING (conv_id, turn_idx, rn)
-           |  JOIN read_parquet('${Dumps.turnsV(o, 2)}/*.parquet') c
-           |    USING (conv_id, turn_idx, rn)),
+           |  SELECT $sel
+           |$joins),
            |u AS (
-           |  SELECT 'A' AS variant, text_0 AS pred, text_0 AS ref FROM j
-           |  UNION ALL
-           |  SELECT 'B' AS variant, text_1 AS pred, text_0 AS ref FROM j
-           |  UNION ALL
-           |  SELECT 'C' AS variant, text_2 AS pred, text_0 AS ref FROM j),
+           |$unions),
            |g AS (
            |  SELECT variant, count(*) AS n,
            |    CAST(sum(CASE WHEN pred = ref THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
@@ -600,7 +609,8 @@ object SparkEntry {
            |SELECT variant, n, n_exact,
            |  CAST(n_exact AS DOUBLE) / n AS acc, len_delta,
            |  CAST(n_exact AS DOUBLE) / n = best_acc AS is_best
-           |FROM g CROSS JOIN b ORDER BY variant""".stripMargin,
+           |FROM g CROSS JOIN b ORDER BY variant""".stripMargin
+      },
       "x_dist_rank" ->
         s"""SELECT conv_id, turn_idx, rn, kind, text, spans_json, n_spans, ok
            |FROM read_parquet('${Dumps.turnsA(o)}/*.parquet')

@@ -92,20 +92,38 @@ object CentroidKernel {
 
   /** The nProbe nearest centroid ids, ordered (cos desc, cid asc) — the
     * literal recipe's array_sort over struct(-cos, cid) replicated.
+    * Primitive insertion top-k (O(n*k), k tiny): no boxed tuples on the
+    * per-row path (CLAUDE.md kernel rule).
     */
   def probe(emb: ArrayData, c: Centroids, nProbe: Int): ArrayData = {
     val x = emb.toFloatArray()
-    val scored = new Array[(Double, Long)](c.n)
+    val k = math.min(nProbe, c.n)
+    val topCos = new Array[Double](k)
+    val topCid = new Array[Long](k)
+    var filled = 0
     var j = 0
     while (j < c.n) {
-      scored(j) = (-cosAt(x, c, j), c.ids(j))
+      val cs = cosAt(x, c, j)
+      val cid = c.ids(j)
+      // find insertion point in the current top list (cos desc, cid asc)
+      var p = filled
+      while (p > 0 && (cs > topCos(p - 1) ||
+          (cs == topCos(p - 1) && cid < topCid(p - 1)))) p -= 1
+      if (p < k) {
+        val last = math.min(filled, k - 1)
+        var q = last
+        while (q > p) {
+          topCos(q) = topCos(q - 1); topCid(q) = topCid(q - 1)
+          q -= 1
+        }
+        topCos(p) = cs; topCid(p) = cid
+        if (filled < k) filled += 1
+      }
       j += 1
     }
-    java.util.Arrays.sort(scored, Ordering.Tuple2[Double, Long])
-    val k = math.min(nProbe, c.n)
-    val out = new Array[Any](k)
+    val out = new Array[Long](filled)
     j = 0
-    while (j < k) { out(j) = scored(j)._2; j += 1 }
+    while (j < filled) { out(j) = topCid(j); j += 1 }
     new GenericArrayData(out)
   }
 }
@@ -124,7 +142,12 @@ private[expr] trait CentroidBroadcastExpr extends UnaryExpression {
   protected def centsJava(ctx: CodegenContext): String = {
     val ref = ctx.addReferenceObj("centroidsBc", bc,
       classOf[Broadcast[_]].getName)
-    s"((graft.expr.CentroidKernel.Centroids) $ref.value())"
+    // deref the broadcast ONCE per operator instance, not per row: the
+    // unwrapped Centroids lives in generated mutable state and the hot
+    // loop reads the field directly
+    val cls = "graft.expr.CentroidKernel.Centroids"
+    ctx.addMutableState(cls, "centroids",
+      v => s"$v = ($cls) $ref.value();")
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -239,9 +239,9 @@ object DedupOps {
     * literals — deterministic, no driver-side randomness, identical on
     * every executor, and zero per-row hashing.
     *
-    * Contract: the embedding column has a uniform dimension (the sign
-    * rows are sized from the first row; zip_with would null-pad a ragged
-    * row).
+    * Contract: the embedding column has a uniform dimension. The sign
+    * rows are sized from the first non-null row; null/ragged rows are
+    * excluded from candidate generation (enforced, not assumed).
     *
     * Scale discipline (round-1 fix): the self-join moves (vec_id,
     * table_idx, bucket) rows ONLY — embedding vectors never ride through
@@ -253,7 +253,19 @@ object DedupOps {
     */
   def embeddingCandidates(embs: DataFrame, nPlanes: Int = 8,
       nTables: Int = 4, maxBucket: Int = 10000): DataFrame = {
-    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    val firstDim = embs.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).take(1)
+    if (firstDim.isEmpty)
+      return embs.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"))
+        .limit(0)
+    val dim = firstDim(0).getInt(0)
+    // uniform-dim contract, enforced rather than assumed: a ragged row
+    // would null-pad through zip_with, fold its dot to null, and land
+    // every plane bit at 0 — all ragged rows silently sharing bucket 0.
+    // Cosine across mismatched dims is ill-defined for this recipe, so
+    // ragged rows are EXCLUDED from candidate generation instead.
+    val uniform = embs.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === dim)
     val signs = hyperplaneSigns(nTables, nPlanes, dim)
     def tableKey(t: Int) = (0 until nPlanes).map { p =>
       // sign bit of sum_i(vec[i] * sign[t][p][i])
@@ -262,7 +274,7 @@ object DedupOps {
         lit(0.0d), (acc, x) => acc + x)
       when(dotCol >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }.reduce(_ + _)
-    val bucketed = embs.select(col("vec_id"),
+    val bucketed = uniform.select(col("vec_id"),
       posexplode(array((0 until nTables).map(tableKey): _*))
         .as(Seq("table_idx", "bucket")))
     val bucketSizes = bucketed.groupBy(col("table_idx"), col("bucket"))

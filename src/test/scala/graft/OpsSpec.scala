@@ -222,6 +222,44 @@ class OpsSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff rows bucket differently under precomputed signs")
   }
 
+  test("embedding LSH: empty corpus and null/ragged rows handled, not crashed") {
+    import spark.implicits._
+    // empty corpus -> empty candidates (the round-2 per-row recipe's
+    // behavior), no head()-on-empty crash
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(DedupOps.embeddingCandidates(empty).collect().isEmpty)
+    // ragged + null rows are EXCLUDED (uniform-dim contract, enforced);
+    // the uniform near-identical pair still buckets together
+    val mixed = Seq(
+      (1L, Array(1.0f, 0.9f, 0.8f, 0.7f)),
+      (2L, Array(1.0f, 0.9f, 0.8f, 0.69f)),
+      (3L, Array(1.0f, 0.9f)),              // ragged
+      (4L, null.asInstanceOf[Array[Float]]) // null
+    ).toDF("vec_id", "embedding")
+    val cands = DedupOps.embeddingCandidates(mixed, nPlanes = 2, nTables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.exists(p => p._1 >= 3L || p._2 >= 3L),
+      "ragged/null rows must not produce candidates")
+  }
+
+  test("centroid probe kernel: primitive top-k == full sort incl. cid tie-break") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // centroids engineered with duplicate vectors -> equal cosines ->
+    // the cid-asc tie-break must hold
+    val cents = graft.expr.CentroidKernel.build(Array(
+      (7L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)),  // tie on cos=1
+      (5L, Array(0.0f, 1.0f)), (1L, Array(-1.0f, 0.0f)),
+      (9L, Array(0.7f, 0.7f))))
+    val emb = new GenericArrayData(Array[Any](1.0f, 0.0f))
+    def ids(k: Int) = graft.expr.CentroidKernel.probe(emb, cents, k)
+      .toLongArray().toSeq
+    assert(ids(3) == Seq(3L, 7L, 9L),
+      s"tie on cos=1 must order cid asc; got ${ids(3)}")
+    assert(ids(10) == Seq(3L, 7L, 9L, 5L, 1L))
+    assert(graft.expr.CentroidKernel.nearest(emb, cents) == 3L)
+  }
+
   test("embedding near-dups: verified pairs subset of exact-cos pairs") {
     val exact = {
       val e = embs.select(col("vec_id"), col("embedding")).collect()
