@@ -35,6 +35,20 @@ object FsUtil {
     finally out.close()
   }
 
+  /** Replace `dst` with `src` via delete + rename. On HDFS the rename is
+    * atomic (the manifest-commit-last contract holds); on S3 rename is
+    * copy+delete — the documented seam where a real Iceberg catalog
+    * commit takes over (TableIO scaladoc).
+    */
+  def replaceWith(src: String, dst: String): Unit = {
+    val s = new Path(src)
+    val d = new Path(dst)
+    val f = fs(d)
+    if (f.exists(d)) f.delete(d, false)
+    if (!f.rename(s, d))
+      throw new java.io.IOException(s"rename $src -> $dst failed")
+  }
+
   def readString(path: String): Option[String] = {
     val p = new Path(path)
     val f = fs(p)

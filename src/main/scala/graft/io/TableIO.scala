@@ -2,8 +2,6 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 
 /** Iceberg-layout table IO with per-partition lineage manifests +
   * checkpoint/resume — the recast of the reference's checkpoint system
@@ -41,27 +39,30 @@ object TableIO {
 
   // --- manifest json (hand-rolled: flat schema, zero deps) --------------
 
-  def manifestPath(outDir: String, bucket: Int): Path =
-    Paths.get(outDir, f"bucket=$bucket%d", "_manifest.json")
+  def manifestPath(outDir: String, bucket: Int): String =
+    s"$outDir/bucket=$bucket/_manifest.json"
 
+  /** Manifest IO rides the Hadoop FileSystem API (FsUtil) so checkpoint
+    * lineage + resume hold on HDFS/S3 output dirs, not just local paths
+    * (round-2 ADVICE family — the resume anti-join is exactly the
+    * contract a real cluster relies on).
+    */
   def writeManifest(outDir: String, m: Manifest): Unit = {
     val p = manifestPath(outDir, m.bucket)
-    Files.createDirectories(p.getParent)
     val json =
       s"""{"bucket":${m.bucket},"rows":${m.rows},"convs":${m.convs},""" +
         s""""digest":${m.digest},"wallMs":${m.wallMs},"attempt":${m.attempt}}"""
-    // write-then-atomic-move so a crash mid-write never yields a valid-
-    // looking manifest
-    val tmp = p.resolveSibling("_manifest.json.tmp")
-    Files.writeString(tmp, json)
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // write-then-move so a crash mid-write never yields a valid-looking
+    // manifest (atomic on HDFS; see FsUtil.replaceWith for the S3 seam)
+    val tmp = s"$outDir/bucket=${m.bucket}/_manifest.json.tmp"
+    graft.io.FsUtil.writeString(tmp, json)
+    graft.io.FsUtil.replaceWith(tmp, p)
   }
 
   def readManifest(outDir: String, bucket: Int): Option[Manifest] = {
-    val p = manifestPath(outDir, bucket)
-    if (!Files.exists(p)) return None
-    val s = Files.readString(p)
+    val sOpt = graft.io.FsUtil.readString(manifestPath(outDir, bucket))
+    if (sOpt.isEmpty) return None
+    val s = sOpt.get
     def field(k: String): Option[Long] = {
       val m = ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s)
       m.map(_.group(1).toLong)
