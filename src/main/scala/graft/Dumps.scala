@@ -34,7 +34,6 @@ object Dumps {
   /** Extracted turns for variant v (0 = golden default). */
   def turnsV(sfDir: String, v: Int): String = s"${root(sfDir)}/turns_v$v"
   def turnsA(sfDir: String): String = turnsV(sfDir, 0)
-  def turnsB(sfDir: String): String = turnsV(sfDir, 1)
   def fp(sfDir: String): String = s"${root(sfDir)}/fingerprints"
   def blocks(sfDir: String): String = s"${root(sfDir)}/blocks"
   def mhCands(sfDir: String): String = s"${root(sfDir)}/mh_cands"

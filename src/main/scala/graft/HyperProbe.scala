@@ -25,12 +25,10 @@ object HyperProbe {
         lit(0.0d), (acc, x) => acc + x)
       when(dotCol >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }.reduce(_ + _)
-    def newKey(t: Int) = (0 until nPlanes).map { p =>
-      val dotCol = aggregate(
-        zip_with(col("embedding"), lit(signs(t)(p)), (v, s) => v * s),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dotCol >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
-    }.reduce(_ + _)
+    // the PRODUCTION key builder, not a local copy — the probe measures
+    // exactly what embeddingCandidates runs
+    def newKey(t: Int) =
+      graft.ops.DedupOps.hyperplaneTableKey(signs, t, nPlanes)
     def time(key: Int => org.apache.spark.sql.Column): Double = {
       val t0 = System.nanoTime()
       embs.select(col("vec_id"),

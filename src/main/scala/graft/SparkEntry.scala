@@ -117,11 +117,14 @@ object SparkEntry {
     // metrics against the default output as reference, best-of selection
     "x_ab_audit" -> ((s, dir) => {
       val nVar = graft.kernel.ExtractParams.Variants.size
-      (0 until nVar).foreach { v =>
-        Dumps.ensure(Dumps.turnsV(dir, v))(driverSafeTurns(extractedV(s, v)))
-      }
+      // each variant extracts exactly ONCE (into its dump); the join and
+      // the N union branches then read the dumps back — re-deriving
+      // `keyed` from extractedV would re-run the extraction pipeline
+      // O(N^2) times across the union branches
       val keyed = (0 until nVar).map { v =>
-        extractedV(s, v).select(col("conv_id"), col("turn_idx"),
+        val path = Dumps.ensure(Dumps.turnsV(dir, v))(
+          driverSafeTurns(extractedV(s, v)))
+        s.read.parquet(path).select(col("conv_id"), col("turn_idx"),
           col("rn"), col("text").as(s"text_$v"))
       }
       val j = keyed.reduce(_.join(_, Seq("conv_id", "turn_idx", "rn")))

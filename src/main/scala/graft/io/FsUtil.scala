@@ -35,18 +35,21 @@ object FsUtil {
     finally out.close()
   }
 
-  /** Replace `dst` with `src` via delete + rename. On HDFS the rename is
-    * atomic (the manifest-commit-last contract holds); on S3 rename is
-    * copy+delete — the documented seam where a real Iceberg catalog
-    * commit takes over (TableIO scaladoc).
+  /** Replace `dst` with `src` via a single rename-with-OVERWRITE
+    * (FileContext): on HDFS and local FS the destination holds either
+    * the old or the new content at every instant — never neither (a
+    * delete-then-rename pair would lose the committed manifest if the
+    * process dies between the two calls). On S3 rename is copy+delete —
+    * the documented seam where a real Iceberg catalog commit takes over
+    * (TableIO scaladoc).
     */
   def replaceWith(src: String, dst: String): Unit = {
-    val s = new Path(src)
-    val d = new Path(dst)
-    val f = fs(d)
-    if (f.exists(d)) f.delete(d, false)
-    if (!f.rename(s, d))
-      throw new java.io.IOException(s"rename $src -> $dst failed")
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val f = fs(new Path(dst))
+    val d = f.makeQualified(new Path(dst))
+    val s = f.makeQualified(new Path(src))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(d.toUri, conf)
+    fc.rename(s, d, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def readString(path: String): Option[String] = {

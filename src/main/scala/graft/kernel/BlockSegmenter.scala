@@ -36,8 +36,14 @@ object ExtractParams {
   val Variants: IndexedSeq[ExtractParams] =
     IndexedSeq(Default, VariantB, VariantC)
 
-  def forVariant(v: Int): ExtractParams =
-    if (v >= 0 && v < Variants.size) Variants(v) else Default
+  def forVariant(v: Int): ExtractParams = {
+    // fail loud on an out-of-range index (combineRank's style): a silent
+    // Default fallback makes a typo'd variant audit report perfect
+    // Default-vs-Default accuracy
+    require(v >= 0 && v < Variants.size,
+      s"variant $v out of range 0..${Variants.size - 1}")
+    Variants(v)
+  }
 }
 
 /** Node scoring + block segmentation + classification — the engine's

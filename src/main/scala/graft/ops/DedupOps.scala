@@ -251,29 +251,43 @@ object DedupOps {
     * corpus density — scale nPlanes ~ log2(corpus)/2 so expected bucket
     * size stays bounded).
     */
-  def embeddingCandidates(embs: DataFrame, nPlanes: Int = 8,
-      nTables: Int = 4, maxBucket: Int = 10000): DataFrame = {
-    val firstDim = embs.filter(col("embedding").isNotNull)
-      .select(size(col("embedding"))).take(1)
-    if (firstDim.isEmpty)
-      return embs.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"))
-        .limit(0)
-    val dim = firstDim(0).getInt(0)
-    // uniform-dim contract, enforced rather than assumed: a ragged row
-    // would null-pad through zip_with, fold its dot to null, and land
-    // every plane bit at 0 — all ragged rows silently sharing bucket 0.
-    // Cosine across mismatched dims is ill-defined for this recipe, so
-    // ragged rows are EXCLUDED from candidate generation instead.
-    val uniform = embs.filter(col("embedding").isNotNull &&
-      size(col("embedding")) === dim)
-    val signs = hyperplaneSigns(nTables, nPlanes, dim)
-    def tableKey(t: Int) = (0 until nPlanes).map { p =>
+  /** The nPlanes-bit bucket key for LSH table `t` over `embedding`,
+    * folding the precomputed sign rows. Shared by embeddingCandidates
+    * and the HyperProbe A/B harness so the probe cannot drift from what
+    * production runs.
+    */
+  private[graft] def hyperplaneTableKey(signs: Array[Array[Array[Double]]],
+      t: Int, nPlanes: Int): org.apache.spark.sql.Column =
+    (0 until nPlanes).map { p =>
       // sign bit of sum_i(vec[i] * sign[t][p][i])
       val dotCol = aggregate(
         zip_with(col("embedding"), lit(signs(t)(p)), (v, s) => v * s),
         lit(0.0d), (acc, x) => acc + x)
       when(dotCol >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }.reduce(_ + _)
+
+  def embeddingCandidates(embs: DataFrame, nPlanes: Int = 8,
+      nTables: Int = 4, maxBucket: Int = 10000): DataFrame = {
+    // canonical dim = MAX over the corpus: a pure function of content
+    // (CLAUDE.md determinism rule — take(1) would make the excluded-row
+    // set depend on partition layout). One cheap agg job at plan-build
+    // time — the index-build step of this op. Empty corpus -> empty
+    // candidates.
+    val dimRow = embs.filter(col("embedding").isNotNull)
+      .agg(max(size(col("embedding")))).take(1)
+    if (dimRow.isEmpty || dimRow(0).isNullAt(0))
+      return embs.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"))
+        .limit(0)
+    val dim = dimRow(0).getInt(0)
+    // uniform-dim contract, enforced rather than assumed: a ragged row
+    // would null-pad through zip_with, fold its dot to null, and land
+    // every plane bit at 0 — all ragged rows silently sharing bucket 0.
+    // Cosine across mismatched dims is ill-defined for this recipe, so
+    // shorter-than-canonical rows are EXCLUDED from candidate generation.
+    val uniform = embs.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === dim)
+    val signs = hyperplaneSigns(nTables, nPlanes, dim)
+    def tableKey(t: Int) = hyperplaneTableKey(signs, t, nPlanes)
     val bucketed = uniform.select(col("vec_id"),
       posexplode(array((0 until nTables).map(tableKey): _*))
         .as(Seq("table_idx", "bucket")))

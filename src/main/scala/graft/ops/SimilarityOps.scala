@@ -170,10 +170,13 @@ object SimilarityOps {
     */
   def buildIvfIndex(corpus: DataFrame, cents: Array[(Long, Array[Float])],
       path: String): Unit =
+    buildIvfIndexBc(corpus, broadcastCentroids(corpus.sparkSession, cents),
+      path)
+
+  private def buildIvfIndexBc(corpus: DataFrame,
+      bc: Broadcast[CentroidKernel.Centroids], path: String): Unit =
     corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("centroid_id",
-        nearestCentroid(col("embedding"),
-          broadcastCentroids(corpus.sparkSession, cents)))
+      .withColumn("centroid_id", nearestCentroid(col("embedding"), bc))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
   /** IVF search over a built index: per query, probe the nProbe nearest
@@ -184,12 +187,17 @@ object SimilarityOps {
     */
   def ivfProbeIndex(spark: SparkSession, indexPath: String,
       cents: Array[(Long, Array[Float])], queries: DataFrame,
-      k: Int = 10, nProbe: Int = 4): DataFrame = {
+      k: Int = 10, nProbe: Int = 4): DataFrame =
+    ivfProbeIndexBc(spark, indexPath, broadcastCentroids(spark, cents),
+      queries, k, nProbe)
+
+  private def ivfProbeIndexBc(spark: SparkSession, indexPath: String,
+      bc: Broadcast[CentroidKernel.Centroids], queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .withColumn("centroid_id",
-        explode(probeCentroids(col("q_emb"),
-          broadcastCentroids(spark, cents), nProbe)))
+        explode(probeCentroids(col("q_emb"), bc, nProbe)))
     // static partition filter: <= nCentroids longs — partition PRUNING on
     // the index (matches the partitionBy layout), robust at tiny scale
     // where dynamic partition pruning would not trigger
@@ -234,18 +242,24 @@ object SimilarityOps {
   /** Convenience: build (or reuse) the index under `indexPath`, probe.
     * Reuse requires BOTH the _SUCCESS marker and a matching metadata
     * fingerprint (centroid content + nCentroids); anything else rebuilds.
+    * ONE broadcast of the centroid set is shared by build and probe (at
+    * k ~ 65k x high-dim the payload is hundreds of MB — shipping it
+    * twice per call is real money). Not destroyed here: the returned
+    * DataFrame is lazy and still references it; the ContextCleaner
+    * releases it once the handle is unreachable.
     */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       indexPath: String, k: Int = 10, nProbe: Int = 4,
       nCentroids: Int = 32): DataFrame = {
     val cents = centroids(corpus, nCentroids)
     val fp = indexFingerprint(cents, nCentroids)
+    val bc = broadcastCentroids(spark, cents)
     val reusable = graft.io.FsUtil.successExists(indexPath) &&
       graft.io.FsUtil.readString(metaPath(indexPath)).contains(fp)
     if (!reusable) {
-      buildIvfIndex(corpus, cents, indexPath)
+      buildIvfIndexBc(corpus, bc, indexPath)
       graft.io.FsUtil.writeString(metaPath(indexPath), fp)
     }
-    ivfProbeIndex(spark, indexPath, cents, queries, k, nProbe)
+    ivfProbeIndexBc(spark, indexPath, bc, queries, k, nProbe)
   }
 }
