@@ -282,6 +282,10 @@ object SparkEntry {
     // ---- multimodal plumbing (stubbed decode, real schema/batching) ----
     "mm_features" -> ((s, dir) =>
       graft.ops.MultimodalOps.mediaFeatures(s, docs(s, dir))),
+    // frame-sample + nearest-neighbor resize over the payload body,
+    // batched per partition (the remaining multimodal verbs)
+    "mm_transform" -> ((s, dir) =>
+      graft.ops.MultimodalOps.mediaTransforms(s, docs(s, dir))),
 
     // ---- schema'd JSON parse + array predicates (DetLabelEncode
     //      json.loads -> polys/tags, label_ops.py:19-71) -----------------
@@ -849,6 +853,35 @@ object SparkEntry {
           |    x -> ascii(substring(text, CAST(x AS INT), 1))), 'avg') * 1e6, 0) / 1e6 AS mean_byte,
           |  TRUE AS header_ok
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // frame-sample: body = first min(len,256) chars as bytes, 16-byte
+      // frames (tail dropped), every 2nd frame; resize: nearest-neighbor
+      // to 64 bytes, src = (i*len)//64. Integer-exact until the final
+      // double mean (sum of ints), rint = round_even
+      "mm_transform" ->
+        """WITH b AS (SELECT doc_id, text,
+          |    least(length(text), 256) AS blen,
+          |    CAST(least(length(text), 256) // 16 AS INT) AS n_frames
+          |  FROM documents),
+          |samp AS (SELECT doc_id,
+          |    CASE WHEN n_frames = 0 THEN 0.0 ELSE
+          |      round_even(list_aggregate(list_transform(
+          |        list_filter(range(0, blen),
+          |          p -> (p // 16) < n_frames AND (p // 16) % 2 = 0),
+          |        p -> ascii(substring(text, CAST(p + 1 AS INT), 1))), 'avg') * 1e6, 0) / 1e6
+          |    END AS sampled_mean
+          |  FROM b),
+          |rez AS (SELECT doc_id,
+          |    CASE WHEN blen = 0 THEN 0.0 ELSE
+          |      round_even(list_aggregate(list_transform(range(0, 64),
+          |        i -> ascii(substring(text, CAST((i * blen) // 64 + 1 AS INT), 1))), 'avg') * 1e6, 0) / 1e6
+          |    END AS resized_mean
+          |  FROM b)
+          |SELECT b.doc_id, n_frames, sampled_mean,
+          |  CAST(64 AS INT) AS resized_len, resized_mean
+          |FROM b JOIN samp ON b.doc_id = samp.doc_id
+          |       JOIN rez ON b.doc_id = rez.doc_id
+          |ORDER BY b.doc_id""".stripMargin,
 
       // ---- schema'd JSON parse (oracle computes closed-form from the
       //      base columns; the Spark side does the real JSON roundtrip) --

@@ -69,4 +69,63 @@ object MultimodalOps {
     val media: Dataset[MediaRow] = synthesize(docs).as[MediaRow]
     media.mapPartitions(decodeStub).toDF().orderBy(col("doc_id"))
   }
+
+  final case class MediaTransform(doc_id: Long, n_frames: Int,
+      sampled_mean: Double, resized_len: Int, resized_mean: Double)
+
+  /** Frame-sample + resize over the payload body, batched per partition
+    * (the remaining multimodal verbs of the round brief). Same honesty
+    * split as decodeStub: the byte-level ops are real and deterministic
+    * over the synthesized payloads — a real video/image codec slots in
+    * at this exact seam with the same batch shape.
+    *
+    *  - frame-sample: body cut into 16-byte frames (tail dropped),
+    *    every 2nd frame kept, mean byte over the kept frames.
+    *  - resize: nearest-neighbor resample of the body to 64 bytes
+    *    (src index = i * len / 64, integer division), mean byte.
+    *
+    * All arithmetic is integer-exact until the final mean (double sum of
+    * ints, rint-pinned to 1e-6) so the DuckDB oracle replicates it
+    * bit-for-bit.
+    */
+  def transformStub(rows: Iterator[MediaRow]): Iterator[MediaTransform] =
+    rows.map { r =>
+      val p = r.payload
+      val body = if (p.length > 16) java.util.Arrays.copyOfRange(p, 16, p.length)
+        else Array.empty[Byte]
+      val frame = 16
+      val nFrames = body.length / frame
+      var sum = 0.0
+      var cnt = 0
+      var f = 0
+      while (f < nFrames) {
+        if (f % 2 == 0) {
+          var j = f * frame
+          val end = j + frame
+          while (j < end) { sum += (body(j) & 0xff); cnt += 1; j += 1 }
+        }
+        f += 1
+      }
+      val sampledMean =
+        if (cnt == 0) 0.0 else math.rint(sum / cnt * 1e6) / 1e6
+      val n = 64
+      var rsum = 0.0
+      if (body.nonEmpty) {
+        var i = 0
+        while (i < n) {
+          rsum += (body((i.toLong * body.length / n).toInt) & 0xff)
+          i += 1
+        }
+      }
+      val resizedMean =
+        if (body.isEmpty) 0.0 else math.rint(rsum / n * 1e6) / 1e6
+      MediaTransform(r.doc_id, nFrames, sampledMean, n, resizedMean)
+    }
+
+  /** docs -> binary media -> batched frame-sample + resize. */
+  def mediaTransforms(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = synthesize(docs).as[MediaRow]
+    media.mapPartitions(transformStub).toDF().orderBy(col("doc_id"))
+  }
 }

@@ -405,6 +405,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: frame-sample + resize transforms hold their invariants") {
+    val out = MultimodalOps.mediaTransforms(spark, docs.limit(50)).collect()
+    assert(out.length == 50)
+    out.foreach { r =>
+      val bodyLen = math.min(
+        docs.filter(col("doc_id") === r.getAs[Long]("doc_id"))
+          .head().getAs[String]("text").length, 256)
+      assert(r.getAs[Int]("n_frames") == bodyLen / 16)
+      assert(r.getAs[Int]("resized_len") == 64)
+      val sm = r.getAs[Double]("sampled_mean")
+      val rm = r.getAs[Double]("resized_mean")
+      assert(sm >= 0.0 && sm <= 255.0)
+      assert(rm >= 0.0 && rm <= 255.0)
+      if (bodyLen > 0) assert(rm > 0.0, "non-empty body must have a mean")
+    }
+  }
+
   test("sql registration: all custom functions callable from SQL") {
     docs.limit(5).createOrReplaceTempView("docs_fn_test")
     val r = spark.sql(
