@@ -124,13 +124,16 @@ object ExtractPipeline {
     * Output is BYTE-IDENTICAL to extract() (property-tested): same
     * ordering spec, same kernel, different physical rank.
     */
-  def extractDistributedRank(turns: DataFrame, nPart: Int = 0): DataFrame =
-    distributedRankWith(turns, nPart)._2
+  def extractDistributedRank(turns: DataFrame, nPart: Int = 0,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    distributedRankWith(turns, nPart, storage)._2
 
   /** Internal: returns (the persisted ranged dataset, the result) so
     * callers that materialize can release the cache (runDistributedRank).
     */
-  private def distributedRankWith(turns: DataFrame, nPart: Int)
+  private def distributedRankWith(turns: DataFrame, nPart: Int,
+      storage: org.apache.spark.storage.StorageLevel)
       : (org.apache.spark.sql.Dataset[graft.model.Turn], DataFrame) = {
     val spark = turns.sparkSession
     import spark.implicits._
@@ -141,7 +144,7 @@ object ExtractPipeline {
       .as[graft.model.Turn]
       .repartitionByRange(p, col("conv_id"), col("turn_idx"), col("ts"))
       .sortWithinPartitions(col("conv_id"), col("turn_idx"), col("ts"))
-      .persist()
+      .persist(storage) // DISK_ONLY at cluster scale (scaladoc above)
 
     // job 1: per-partition boundary conversation counts (<= 2 per task)
     val boundary: Array[(Int, String, Long)] = ranged.mapPartitions { it =>
@@ -229,9 +232,11 @@ object ExtractPipeline {
     * lazy entry point cannot unpersist for you; this one materializes
     * via `action` and then releases the cache.
     */
-  def runDistributedRank[A](turns: DataFrame, nPart: Int = 0)(
+  def runDistributedRank[A](turns: DataFrame, nPart: Int = 0,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)(
       action: DataFrame => A): A = {
-    val (ranged, df) = distributedRankWith(turns, nPart)
+    val (ranged, df) = distributedRankWith(turns, nPart, storage)
     try action(df)
     finally { ranged.unpersist(blocking = false); () }
   }

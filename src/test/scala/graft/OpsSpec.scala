@@ -373,6 +373,22 @@ class OpsSpec extends AnyFunSuite {
     assert(assigned.limit(20).collect().forall(_.getLong(2) >= 0L))
   }
 
+  test("ANN IVF: probe is a partition-PRUNED index read, not a scan") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivf_prune_test").toString + "/index"
+    val queries = embs.filter(col("vec_id") === 0)
+    val probe = SimilarityOps.ivfTopK(spark, embs, queries, base,
+      k = 3, nProbe = 2, nCentroids = 8)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    // the index read must carry a non-empty PartitionFilters entry on
+    // centroid_id — the probed cells prune partitions at the source
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(pf.exists(f => f.nonEmpty && f.contains("centroid_id")),
+      s"index read must be partition-pruned on centroid_id:\n$plan")
+  }
+
   test("ANN IVF: stale index dir is rebuilt when the fingerprint mismatches") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_ivf_meta_test").toString + "/index"
