@@ -32,6 +32,19 @@ object Explain {
     SparkEntry.queries("ann_ivf")(spark, "/root/testdata/sf0.001")
       .explain("formatted")
 
+    println("==== distributed rank (no per-conversation window task) ====")
+    ExtractPipeline.extractDistributedRank(spark.read.parquet(path), nPart = 8)
+      .explain("formatted")
+
+    println("==== width-bucket equalizer (hash exchange + in-partition sort) ====")
+    graft.ops.Rebalance.equalizeByLength(
+      spark.read.parquet(path),
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")),
+      Seq(org.apache.spark.sql.functions.col("conv_id"),
+        org.apache.spark.sql.functions.col("turn_idx")),
+      nPart = 8).explain("formatted")
+
     println("==== codegen check: extract_turn inside WholeStageCodegen ====")
     val df = ExtractPipeline.extract(spark.read.parquet(path))
     df.collect() // force execution so the final (AQE-resolved) plan exists
