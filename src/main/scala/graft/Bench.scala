@@ -110,6 +110,76 @@ object Bench {
     rates.sum
   }
 
+  /** One measurement window: nPasses timed extraction passes, each
+    * bracketed by the single-thread and all-cores CPU probes, plus the
+    * contamination classification (steal_suspect).
+    */
+  final case class WindowResult(passes: Seq[(Double, Double)],
+      probes: Seq[Double], parProbes: Seq[Double]) {
+    def bestSec: Double = passes.map(_._1).min
+    def bestTps: Double = passes.map(_._2).max
+    // contamination heuristics: pass spread beyond 1.4x, or either CPU
+    // control (1-thread / all-cores aggregate) sagging within the window.
+    // The FIRST measured pass is excluded from the spread whenever a
+    // steadier pass exists (it stays in pass_tps raw): tiered JIT +
+    // shuffle-file warm-in make it the slowest in every observed window,
+    // clean or not, so including it flags clean windows (with one
+    // remaining pass the spread degenerates to 1.0 and the probes stay
+    // the signal); the probes remain the direct CPU evidence.
+    def passSpread: Double = {
+      val steady = if (passes.length > 1) passes.drop(1) else passes
+      steady.map(_._1).max / steady.map(_._1).min
+    }
+    def probeSag: Double = probes.min / probes.max
+    def parSag: Double = parProbes.min / parProbes.max
+    def stealSuspect: Boolean =
+      passSpread > 1.4 || probeSag < 0.75 || parSag < 0.7
+    def json: String = {
+      val passJson = passes.map(p => f"${p._2}%.0f").mkString("[", ",", "]")
+      val probeJson = probes.map(p => f"$p%.1f").mkString("[", ",", "]")
+      val parJson = parProbes.map(p => f"$p%.0f").mkString("[", ",", "]")
+      s"""{"pass_tps":$passJson,"spin_probe_mops":$probeJson,""" +
+        s""""spin_par_mops":$parJson,"steal_suspect":$stealSuspect}"""
+    }
+  }
+
+  def measureWindow(spark: SparkSession, path: String, nTurns: Long,
+      nPasses: Int, nThreads: Int): WindowResult = {
+    val probes = scala.collection.mutable.ArrayBuffer(spinProbeMops())
+    val parProbes = scala.collection.mutable.ArrayBuffer(
+      parallelSpinMops(nThreads))
+    val passes = (1 to nPasses).map { _ =>
+      val r = timeExtraction(spark, path, nTurns)
+      probes += spinProbeMops()
+      parProbes += parallelSpinMops(nThreads)
+      r
+    }
+    WindowResult(passes, probes.toSeq, parProbes.toSeq)
+  }
+
+  /** Run every SparkEntry query once against sfDir. Returns per-query
+    * seconds (-1.0 on failure) plus the failure's class + message — a
+    * broken query in a driver bench must be diagnosable from the JSON
+    * alone, not require a rerun (round-3 hygiene item).
+    */
+  def runQueries(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame] =
+        SparkEntry.queries): (Seq[(String, Double)], Map[String, String]) = {
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok = try { forceAll(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          errors(name) =
+            s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+              .take(300)
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    (results, errors.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -123,52 +193,53 @@ object Bench {
     val spark = makeSpark(cpus)
 
     val (path, nTurns) = benchInput(spark, nConvs, cap)
-    // JIT/codegen warmup on a slice, then N measured passes (default 4) —
-    // the FLOOR is the claim (shared-host CPU steal only ever slows a
-    // pass down; see BENCH.md noise protocol), all passes reported raw.
-    // A spin probe brackets every pass: if the probe rate sags, the
-    // window was stolen and steal_suspect flags the whole measurement.
+    // JIT/codegen warmup on a slice, then up to maxWindows measurement
+    // WINDOWS of nPasses each. The floor of a window is its claim
+    // (shared-host CPU steal only ever slows a pass down; see BENCH.md
+    // noise protocol); every pass is bracketed by CPU probes so a stolen
+    // window is machine-classified (steal_suspect). Round-3 gap: the
+    // probes detected contamination but the artifact still recorded the
+    // dirty window — now the bench RETRIES into a certified-clean window
+    // (first clean window wins; if every attempt is flagged, the best
+    // flagged window is reported WITH its flag and all windows ride in
+    // the JSON as evidence).
     forceAll(ExtractPipeline.extract(
       spark.read.parquet(path).limit(20000)))
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "4").toInt
+    val maxWindows = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "3").toInt
     spinProbeMops(1000000L) // JIT the probe loop itself
     val nThreads = cpus.toInt
-    val probes = scala.collection.mutable.ArrayBuffer(spinProbeMops())
-    val parProbes = scala.collection.mutable.ArrayBuffer(
-      parallelSpinMops(nThreads))
-    val passes = (1 to nPasses).map { _ =>
-      val r = timeExtraction(spark, path, nTurns)
-      probes += spinProbeMops()
-      parProbes += parallelSpinMops(nThreads)
-      r
+    val windows = scala.collection.mutable.ArrayBuffer.empty[WindowResult]
+    while (windows.size < maxWindows &&
+        !windows.lastOption.exists(!_.stealSuspect)) {
+      if (windows.nonEmpty)
+        System.err.println(
+          s"[bench] window ${windows.size} flagged steal_suspect; retrying")
+      windows += measureWindow(spark, path, nTurns, nPasses, nThreads)
     }
-    val (exSec, tps) = passes.minBy(_._1)
-    // contamination heuristics: pass spread beyond 1.4x, or either CPU
-    // control (1-thread / all-cores aggregate) sagging within the window.
-    // The FIRST measured pass is excluded from the spread (it stays in
-    // pass_tps raw): tiered JIT + shuffle-file warm-in make it the
-    // slowest in every observed window, clean or not, so including it
-    // flags clean windows; the probes remain the direct CPU evidence.
-    val steady = if (passes.length > 2) passes.tail else passes
-    val passSpread = steady.map(_._1).max / steady.map(_._1).min
-    val probeSag = probes.min / probes.max
-    val parSag = parProbes.min / parProbes.max
-    val stealSuspect = passSpread > 1.4 || probeSag < 0.75 || parSag < 0.7
+    // headline: the first clean window, else the best flagged one (its
+    // flag rides into the top-level steal_suspect field)
+    val headline = windows.find(!_.stealSuspect)
+      .getOrElse(windows.maxBy(_.bestTps))
+    val (exSec, tps) = headline.passes.minBy(_._1)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { forceAll(fn(spark, sfDir)); true }
-        catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    val (results, qErrors) = runQueries(spark, sfDir)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val errJson = qErrors.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ").replace("\r", " ").replace("\t", " ") + "\""
+      }.mkString("{", ",", "}")
     val total = exSec + results.map(_._2).filter(_ > 0).sum
-    val passJson = passes.map(p => f"${p._2}%.0f").mkString("[", ",", "]")
-    val probeJson = probes.map(p => f"$p%.1f").mkString("[", ",", "]")
-    val parJson = parProbes.map(p => f"$p%.0f").mkString("[", ",", "]")
+    val passJson = headline.passes.map(p => f"${p._2}%.0f")
+      .mkString("[", ",", "]")
+    val probeJson = headline.probes.map(p => f"$p%.1f").mkString("[", ",", "]")
+    val parJson = headline.parProbes.map(p => f"$p%.0f")
+      .mkString("[", ",", "]")
+    val windowsJson = windows.map(_.json).mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","extract_sec":$exSec%.3f,"turns_per_sec":$tps%.0f,"pass_tps":$passJson%s,"spin_probe_mops":$probeJson%s,"spin_par_mops":$parJson%s,"steal_suspect":$stealSuspect%s,"n_turns":$nTurns%d,"cpus":$cpus%s,"n_convs":$nConvs%d}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","extract_sec":$exSec%.3f,"turns_per_sec":$tps%.0f,"pass_tps":$passJson%s,"spin_probe_mops":$probeJson%s,"spin_par_mops":$parJson%s,"steal_suspect":${headline.stealSuspect}%s,"windows":$windowsJson%s,"n_windows":${windows.size}%d,"query_errors":$errJson%s,"n_turns":$nTurns%d,"cpus":$cpus%s,"n_convs":$nConvs%d}""")
     spark.stop()
   }
 }

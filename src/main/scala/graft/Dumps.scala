@@ -49,6 +49,13 @@ object Dumps {
     * reused dump is identical to a fresh one (same Version). Existence
     * goes through the Hadoop FileSystem API so the contract holds on
     * HDFS/S3 dump roots too, not just local paths.
+    *
+    * CONTRACT: the `coalesce(1)` makes every dump a single-task,
+    * single-file write — deliberately, so the DuckDB oracle's
+    * read_parquet glob sees one deterministic file. That is correct ONLY
+    * at the sf0.01-oracle scale this helper serves; never reuse it for a
+    * corpus-sized materialization (a production dump drops the coalesce
+    * and writes partitioned).
     */
   def ensure(path: String)(df: => DataFrame): String = {
     if (!graft.io.FsUtil.successExists(path))

@@ -28,7 +28,8 @@ object HyperProbe {
     // the PRODUCTION key builder, not a local copy — the probe measures
     // exactly what embeddingCandidates runs
     def newKey(t: Int) =
-      graft.ops.DedupOps.hyperplaneTableKey(signs, t, nPlanes)
+      graft.ops.DedupOps.hyperplaneTableKey(signs, t, nPlanes,
+        col("embedding"))
     def time(key: Int => org.apache.spark.sql.Column): Double = {
       val t0 = System.nanoTime()
       embs.select(col("vec_id"),

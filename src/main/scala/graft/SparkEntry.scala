@@ -164,6 +164,15 @@ object SparkEntry {
       driverSafeTurns(ExtractPipeline.extractDistributedRank(
         transcripts(s, 256, 64), nPart = 7))
     }),
+    // the LONG-rank output mode (rn: bigint — the mega-conversation
+    // schema): same two-plans-one-oracle shape as x_dist_rank, with the
+    // oracle casting the window-path dump's rn to BIGINT (DuckDB's own
+    // row_number type — CLAUDE.md int-width rule)
+    "x_dist_rank_long" -> ((s, dir) => {
+      Dumps.ensure(Dumps.turnsA(dir))(driverSafeTurns(extractedA(s)))
+      driverSafeTurns(ExtractPipeline.extractDistributedRankLong(
+        transcripts(s, 256, 64), nPart = 7))
+    }),
     // rollup over extraction metrics by payload kind (SURVEY §2.8's
     // "rollup over metrics" extra; NULL kind row = corpus totals)
     "x_kind_rollup" -> ((s, dir) => {
@@ -622,6 +631,11 @@ object SparkEntry {
         s"""SELECT conv_id, turn_idx, rn, kind, text, spans_json, n_spans, ok
            |FROM read_parquet('${Dumps.turnsA(o)}/*.parquet')
            |ORDER BY conv_id, turn_idx, rn""".stripMargin,
+      "x_dist_rank_long" ->
+        s"""SELECT conv_id, turn_idx, CAST(rn AS BIGINT) AS rn, kind, text,
+           |  spans_json, n_spans, ok
+           |FROM read_parquet('${Dumps.turnsA(o)}/*.parquet')
+           |ORDER BY conv_id, turn_idx, rn""".stripMargin,
       "x_kind_rollup" ->
         s"""SELECT kind, count(*) AS turns,
            |  CAST(sum(length(text)) AS BIGINT) AS chars,
@@ -840,9 +854,20 @@ object SparkEntry {
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // ---- multimodal (header fields + mean byte are closed-form SQL of
-      //      doc_id/text for the synthesized payloads; ASCII corpus) -----
+      //      doc_id/text for the synthesized payloads). The closed forms
+      //      index CHARACTERS while the engine stub walks UTF-8 BYTES, so
+      //      they agree only on ASCII — the `asc` CTE ASSERTS that
+      //      assumption (strlen = byte length): a future non-ASCII sf
+      //      corpus fails this oracle loudly via error() instead of
+      //      silently hash-mismatching (the byte-vs-char trap CLAUDE.md
+      //      pins for levenshtein) ------------------------------------
       "mm_features" ->
-        """SELECT doc_id,
+        """WITH ascii_ok AS (SELECT doc_id,
+          |    CASE WHEN strlen(text) = length(text) THEN text
+          |         ELSE error('mm oracle requires an ASCII corpus: doc '
+          |                    || doc_id || ' has multi-byte chars') END AS text
+          |  FROM documents)
+          |SELECT doc_id,
           |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
           |  CAST(16 + least(length(text), 256) AS INT) AS byte_len,
           |  CAST(doc_id % 64 + 1 AS INT) AS width,
@@ -852,17 +877,22 @@ object SparkEntry {
           |    range(1, least(length(text), 256) + 1),
           |    x -> ascii(substring(text, CAST(x AS INT), 1))), 'avg') * 1e6, 0) / 1e6 AS mean_byte,
           |  TRUE AS header_ok
-          |FROM documents ORDER BY doc_id""".stripMargin,
+          |FROM ascii_ok ORDER BY doc_id""".stripMargin,
 
       // frame-sample: body = first min(len,256) chars as bytes, 16-byte
       // frames (tail dropped), every 2nd frame; resize: nearest-neighbor
       // to 64 bytes, src = (i*len)//64. Integer-exact until the final
       // double mean (sum of ints), rint = round_even
       "mm_transform" ->
-        """WITH b AS (SELECT doc_id, text,
+        """WITH ascii_ok AS (SELECT doc_id,
+          |    CASE WHEN strlen(text) = length(text) THEN text
+          |         ELSE error('mm oracle requires an ASCII corpus: doc '
+          |                    || doc_id || ' has multi-byte chars') END AS text
+          |  FROM documents),
+          |b AS (SELECT doc_id, text,
           |    least(length(text), 256) AS blen,
           |    CAST(least(length(text), 256) // 16 AS INT) AS n_frames
-          |  FROM documents),
+          |  FROM ascii_ok),
           |samp AS (SELECT doc_id,
           |    CASE WHEN n_frames = 0 THEN 0.0 ELSE
           |      round_even(list_aggregate(list_transform(

@@ -251,30 +251,34 @@ object DedupOps {
     * corpus density — scale nPlanes ~ log2(corpus)/2 so expected bucket
     * size stays bounded).
     */
-  /** The nPlanes-bit bucket key for LSH table `t` over `embedding`,
-    * folding the precomputed sign rows. Shared by embeddingCandidates
-    * and the HyperProbe A/B harness so the probe cannot drift from what
-    * production runs.
+  /** The nPlanes-bit bucket key for LSH table `t` over the embedding
+    * column `emb`, folding the precomputed sign rows. Shared by
+    * embeddingCandidates and the HyperProbe A/B harness so the probe
+    * cannot drift from what production runs. The column is a parameter —
+    * the helper must not silently couple to a column NAME while taking
+    * everything else explicitly (round-3 hygiene item).
     */
   private[graft] def hyperplaneTableKey(signs: Array[Array[Array[Double]]],
-      t: Int, nPlanes: Int): org.apache.spark.sql.Column =
+      t: Int, nPlanes: Int,
+      emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (0 until nPlanes).map { p =>
       // sign bit of sum_i(vec[i] * sign[t][p][i])
       val dotCol = aggregate(
-        zip_with(col("embedding"), lit(signs(t)(p)), (v, s) => v * s),
+        zip_with(emb, lit(signs(t)(p)), (v, s) => v * s),
         lit(0.0d), (acc, x) => acc + x)
       when(dotCol >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }.reduce(_ + _)
 
   def embeddingCandidates(embs: DataFrame, nPlanes: Int = 8,
-      nTables: Int = 4, maxBucket: Int = 10000): DataFrame = {
+      nTables: Int = 4, maxBucket: Int = 10000,
+      embCol: String = "embedding"): DataFrame = {
     // canonical dim = MAX over the corpus: a pure function of content
     // (CLAUDE.md determinism rule — take(1) would make the excluded-row
     // set depend on partition layout). One cheap agg job at plan-build
     // time — the index-build step of this op. Empty corpus -> empty
     // candidates.
-    val dimRow = embs.filter(col("embedding").isNotNull)
-      .agg(max(size(col("embedding")))).take(1)
+    val dimRow = embs.filter(col(embCol).isNotNull)
+      .agg(max(size(col(embCol)))).take(1)
     if (dimRow.isEmpty || dimRow(0).isNullAt(0))
       return embs.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"))
         .limit(0)
@@ -284,10 +288,10 @@ object DedupOps {
     // every plane bit at 0 — all ragged rows silently sharing bucket 0.
     // Cosine across mismatched dims is ill-defined for this recipe, so
     // shorter-than-canonical rows are EXCLUDED from candidate generation.
-    val uniform = embs.filter(col("embedding").isNotNull &&
-      size(col("embedding")) === dim)
+    val uniform = embs.filter(col(embCol).isNotNull &&
+      size(col(embCol)) === dim)
     val signs = hyperplaneSigns(nTables, nPlanes, dim)
-    def tableKey(t: Int) = hyperplaneTableKey(signs, t, nPlanes)
+    def tableKey(t: Int) = hyperplaneTableKey(signs, t, nPlanes, col(embCol))
     val bucketed = uniform.select(col("vec_id"),
       posexplode(array((0 until nTables).map(tableKey): _*))
         .as(Seq("table_idx", "bucket")))

@@ -216,20 +216,38 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
-  /** Content fingerprint of an index configuration: nCentroids plus a
-    * digest of the full centroid payload (ids AND vectors). A stale index
-    * dir left by a different corpus or parameterization must never be
-    * probed against freshly computed centroids (round-2 ADVICE: the bare
-    * _SUCCESS check silently returned wrong neighbors on reuse).
+  /** Order-invariant corpus digest: (row count, XOR of xxhash64(vec_id)).
+    * One cheap column-pruned agg over the id column. Required in the
+    * reuse fingerprint because the centroid set alone is a SAMPLE (the k
+    * min-md5 rows): a corpus that gains/loses rows whose md5 sorts high
+    * leaves the centroids identical, and a centroid-only fingerprint
+    * would silently probe a stale index missing those rows (round-3
+    * ADVICE item).
+    */
+  private[ops] def corpusDigest(corpus: DataFrame): (Long, Long) = {
+    val r = corpus.agg(count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Content fingerprint of an index configuration: nCentroids, the full
+    * centroid payload (ids AND vectors), and the corpus digest. A stale
+    * index dir left by a different corpus or parameterization must never
+    * be probed against freshly computed centroids (round-2 ADVICE: the
+    * bare _SUCCESS check silently returned wrong neighbors on reuse;
+    * round-3 ADVICE: same failure when the corpus changes under an
+    * unchanged centroid sample).
     */
   private[ops] def indexFingerprint(cents: Array[(Long, Array[Float])],
-      nCentroids: Int): String = {
+      nCentroids: Int, corpus: (Long, Long)): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(8)
     def putLong(l: Long): Unit = {
       buf.clear(); buf.putLong(l); md.update(buf.array()); ()
     }
     putLong(nCentroids.toLong)
+    putLong(corpus._1)
+    putLong(corpus._2)
     cents.foreach { case (id, emb) =>
       putLong(id)
       emb.foreach(f => putLong(java.lang.Float.floatToIntBits(f).toLong))
@@ -252,7 +270,7 @@ object SimilarityOps {
       indexPath: String, k: Int = 10, nProbe: Int = 4,
       nCentroids: Int = 32): DataFrame = {
     val cents = centroids(corpus, nCentroids)
-    val fp = indexFingerprint(cents, nCentroids)
+    val fp = indexFingerprint(cents, nCentroids, corpusDigest(corpus))
     val bc = broadcastCentroids(spark, cents)
     val reusable = graft.io.FsUtil.successExists(indexPath) &&
       graft.io.FsUtil.readString(metaPath(indexPath)).contains(fp)

@@ -84,6 +84,41 @@ object ExtractPipeline {
         col("ex.ok").as("ok"))
   }
 
+  /** extract() for LENGTH-CLUSTERED input layouts (sorted dumps,
+    * per-source files): Rebalance.equalizeByLength composed in front of
+    * the extraction stage. Real corpora often arrive with like-sized (or
+    * like-kind, i.e. like-cost) rows packed into the same files, so
+    * whole input splits become stragglers; the equalizer's hash
+    * repartition destroys that clustering before the kernels run.
+    *
+    * The equalize keys are (conv_id) DELIBERATELY: the exchange then
+    * satisfies the ordering window's required distribution, Catalyst
+    * elides the window's own exchange, and the pipeline keeps exactly
+    * ONE shuffle (plan-asserted in ScaleSpec) — the equalizer is free of
+    * any second exchange. The trade vs extract(): that one shuffle now
+    * carries the RAW payload (extraction runs downstream of it), and
+    * extraction parallelism becomes nPart instead of input splits — so
+    * this variant is for clustered layouts; keep extract() for uniform
+    * ones (EqualizeProbe A/Bs the two).
+    */
+  def extractEqualized(turns: DataFrame, nPart: Int = 0): DataFrame = {
+    val p = if (nPart > 0) nPart
+      else turns.sparkSession.sparkContext.defaultParallelism * 2
+    extract(graft.ops.Rebalance.equalizeByLength(
+      turns, length(col("text")), Seq(col("conv_id")), p))
+  }
+
+  /** extract() with rn widened to BIGINT — the long-rank output mode.
+    * The window path itself cannot exceed 2^31 (Spark's row_number is
+    * int-typed), so here the cast buys SCHEMA parity with
+    * extractDistributedRankLong, the path that actually ranks past the
+    * int boundary; pick the pair (extractLong, extractDistributedRankLong)
+    * when a single conversation may exceed 2^31 turns, and the default
+    * int pair otherwise (parity with row_number).
+    */
+  def extractLong(turns: DataFrame): DataFrame =
+    extract(turns).withColumn("rn", col("rn").cast("long"))
+
   /** Same pipeline, block-level output included (for blocks()). */
   def extractWithBlocks(turns: DataFrame): DataFrame = {
     turns
@@ -127,13 +162,25 @@ object ExtractPipeline {
   def extractDistributedRank(turns: DataFrame, nPart: Int = 0,
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
-    distributedRankWith(turns, nPart, storage)._2
+    distributedRankWith(turns, nPart, storage, longRank = false)._2
+
+  /** The distributed rank with rn as BIGINT — the path that actually
+    * ranks past 2^31 (the int path's combineRank fails loudly there by
+    * contract; this is the deliberate schema widening its error message
+    * demands). Output matches extractLong() the way
+    * extractDistributedRank matches extract().
+    */
+  def extractDistributedRankLong(turns: DataFrame, nPart: Int = 0,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    distributedRankWith(turns, nPart, storage, longRank = true)._2
 
   /** Internal: returns (the persisted ranged dataset, the result) so
     * callers that materialize can release the cache (runDistributedRank).
     */
   private def distributedRankWith(turns: DataFrame, nPart: Int,
-      storage: org.apache.spark.storage.StorageLevel)
+      storage: org.apache.spark.storage.StorageLevel,
+      longRank: Boolean)
       : (org.apache.spark.sql.Dataset[graft.model.Turn], DataFrame) = {
     val spark = turns.sparkSession
     import spark.implicits._
@@ -188,40 +235,60 @@ object ExtractPipeline {
     }
     val bOffsets = spark.sparkContext.broadcast(offsets)
 
-    // job 2: rank pass — running counter per conversation + offset
+    // job 2: rank pass — running counter per conversation + offset. The
+    // long path sums plainly; the int path goes through the checked
+    // combineRank and is cast back down AFTER validation (a bare cast
+    // would silently alias ranks past 2^31 — the exact failure the int
+    // contract forbids).
+    val useLong = longRank
     val ranked = ranged.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      var curConv: String = null
-      var local = 0L
-      it.map { t =>
-        if (t.conv_id != curConv) { curConv = t.conv_id; local = 0L }
-        local += 1
-        val off = bOffsets.value.getOrElse((pid, t.conv_id), 0L)
-        (t, combineRank(off, local))
-      }
+      val combine: (Long, Long) => Long =
+        if (useLong) _ + _ else (o, l) => combineRank(o, l).toLong
+      rankPartition(it, pid, bOffsets.value, combine)
     }.toDF("t", "rn")
 
     val result = ranked
       .select(col("t.conv_id").as("conv_id"), col("t.turn_idx").as("turn_idx"),
-        col("rn"), Functions.extract_turn(col("t.text")).as("ex"))
+        col("rn").cast(if (useLong) "long" else "int").as("rn"),
+        Functions.extract_turn(col("t.text")).as("ex"))
       .select(col("conv_id"), col("turn_idx"), col("rn"),
         col("ex.kind").as("kind"), col("ex.text").as("text"),
         col("ex.spans").as("spans"), col("ex.ok").as("ok"))
     (ranged, result)
   }
 
-  /** offset + local index -> rn, refusing to wrap: the output schema
-    * carries rn as int for parity with extract()'s row_number, so a
-    * single conversation past 2^31 turns must FAIL LOUDLY, not alias
-    * ranks (this path exists precisely for mega-conversations — widen
-    * the schema deliberately if that contract ever changes).
+  /** Per-partition rank pass, factored pure so tests can drive it with a
+    * FORGED offset map (ranking past the int boundary needs no 2^31-row
+    * fixture): running counter per conversation, rn = combine(offset,
+    * local index).
+    */
+  private[graft] def rankPartition(it: Iterator[graft.model.Turn], pid: Int,
+      offsets: Map[(Int, String), Long],
+      combine: (Long, Long) => Long): Iterator[(graft.model.Turn, Long)] = {
+    var curConv: String = null
+    var local = 0L
+    it.map { t =>
+      if (t.conv_id != curConv) { curConv = t.conv_id; local = 0L }
+      local += 1
+      val off = offsets.getOrElse((pid, t.conv_id), 0L)
+      (t, combine(off, local))
+    }
+  }
+
+  /** offset + local index -> rn, refusing to wrap: the DEFAULT output
+    * schema carries rn as int for parity with extract()'s row_number, so
+    * a single conversation past 2^31 turns must FAIL LOUDLY, not alias
+    * ranks. The deliberate widening exists: extractDistributedRankLong
+    * (rn: bigint) is the mega-conversation path.
     */
   private[graft] def combineRank(off: Long, local: Long): Int = {
     val rn = off + local
     if (rn > Int.MaxValue || rn < 1)
       throw new ArithmeticException(
         s"rn $rn overflows the int rank column (off=$off local=$local); " +
-          "widen rn to long before running conversations past 2^31 turns")
+          "use extractDistributedRankLong (rn: bigint) for conversations " +
+          "past 2^31 turns")
     rn.toInt
   }
 
@@ -234,9 +301,10 @@ object ExtractPipeline {
     */
   def runDistributedRank[A](turns: DataFrame, nPart: Int = 0,
       storage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      longRank: Boolean = false)(
       action: DataFrame => A): A = {
-    val (ranged, df) = distributedRankWith(turns, nPart, storage)
+    val (ranged, df) = distributedRankWith(turns, nPart, storage, longRank)
     try action(df)
     finally { ranged.unpersist(blocking = false); () }
   }

@@ -62,6 +62,81 @@ object StreamExtract {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  // --- custom state: streaming near-dup candidates ----------------------
+
+  final case class BandEvent(band_idx: Int, band_key: Long, doc_id: Long,
+      ts: java.sql.Timestamp)
+  final case class BandFirst(firstDocId: Long, lastTsMs: Long)
+  final case class DupCandidate(id_a: Long, id_b: Long, band_idx: Int)
+
+  /** Streaming MinHash-LSH near-dup CANDIDATE stream — the streaming
+    * flavor of DedupOps.minhashCandidates for a continuously appended
+    * corpus. Each document rides the same 16 band keys as batch
+    * (`minhash_bands`, the SAME codegen'd expression — stream and batch
+    * bucket identically), keyed state per (band_idx, band_key) bucket
+    * holds the FIRST doc_id seen inside the watermark horizon, and every
+    * later doc landing in that bucket emits a candidate pair against it
+    * (id_a < id_b; the same pair can surface once per shared band —
+    * downstream verify dedups, exactly like the batch candidates feed
+    * verifyJaccard).
+    *
+    * Scale notes: state is ~16 bytes per occupied band bucket (one long
+    * doc_id + the activity stamp), expired by the watermark; the payload
+    * text never enters state. The first-doc-only state is ALSO the
+    * streaming analogue of the batch maxBucket valve: a boilerplate
+    * mega-bucket emits pairs LINEAR in its size (all against the first
+    * doc), never the batch join's quadratic blowup. Short texts are
+    * gated exactly like batch (< ShingleK chars cannot be shingle
+    * near-dups); the gate sits AFTER the watermark so gated rows still
+    * advance event time.
+    */
+  def streamDedupMinhashCandidates(spark: SparkSession, rows: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      tsCol: String = "ts",
+      horizonMs: Long = 10L * 60 * 1000): Dataset[DupCandidate] = {
+    import spark.implicits._
+    rows
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
+        col(textCol).as("text"))
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .filter(length(col("text")) >= graft.kernel.TextHash.ShingleK)
+      .select(col("doc_id"), col("ts"),
+        posexplode(Functions.minhash_bands(col("text")))
+          .as(Seq("band_idx", "band_key")))
+      .select(col("band_idx"), col("band_key"), col("doc_id"), col("ts"))
+      .as[BandEvent]
+      .groupByKey(e => (e.band_idx, e.band_key))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), events: Iterator[BandEvent],
+            state: GroupState[BandFirst]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = events.toVector
+            // deterministic within a micro-batch: the smallest doc_id in
+            // the bucket's first batch becomes the anchor (arrival order
+            // across batches is inherently stream-dependent; candidates
+            // are verified downstream either way)
+            val ids = evs.map(_.doc_id).distinct.sorted
+            val lastTs = evs.map(_.ts.getTime).max
+            val prev = state.getOption
+            val first = prev.map(_.firstDocId).getOrElse(ids.head)
+            val out = ids.filter(_ != first).map { d =>
+              DupCandidate(math.min(first, d), math.max(first, d), key._1)
+            }
+            val nextLast = math.max(prev.map(_.lastTsMs).getOrElse(0L), lastTs)
+            state.update(BandFirst(first, nextLast))
+            // expire once the watermark passes last activity + horizon
+            // (strictly beyond the current watermark, as in convSessions)
+            state.setTimeoutTimestamp(math.max(nextLast + horizonMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+        })
+  }
+
   // --- custom state: streaming conversation-session assembly ------------
 
   final case class TurnEvent(conv_id: String, turn_idx: Int,

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench harness contracts: query-failure capture and the clean-window
+  * classification (the driver artifact must be self-diagnosing).
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("runQueries captures a broken query's class + message, not a bare -1") {
+    val qs: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "ok_query" -> ((s, _) => { import s.implicits._
+        Seq((1, "a")).toDF("id", "v") }),
+      "broken_query" -> ((_, _) =>
+        throw new IllegalStateException("deliberately broken for the test")))
+    val (results, errors) = Bench.runQueries(spark, "/unused", qs)
+    val byName = results.toMap
+    assert(byName("ok_query") > 0.0)
+    assert(byName("broken_query") == -1.0)
+    assert(errors.contains("broken_query"), s"errors: $errors")
+    assert(errors("broken_query").contains("IllegalStateException"))
+    assert(errors("broken_query").contains("deliberately broken"))
+    assert(!errors.contains("ok_query"))
+  }
+
+  test("window classification: warm-in pass excluded whenever a steadier pass exists") {
+    // 2-pass window with a typical slow warm-in pass + steady second pass
+    // and flat probes: must NOT be flagged (the round-3 heuristic only
+    // dropped the warm-in at >2 passes, flagging clean 2-pass windows)
+    val clean2 = Bench.WindowResult(
+      passes = Seq((8.0, 100.0), (5.0, 160.0)),
+      probes = Seq(100.0, 101.0, 99.0),
+      parProbes = Seq(3000.0, 3010.0, 2990.0))
+    assert(clean2.passSpread == 1.0)
+    assert(!clean2.stealSuspect)
+    // a sagging all-cores probe flags the window regardless of passes
+    val stolen = Bench.WindowResult(
+      passes = Seq((5.0, 160.0), (5.1, 157.0)),
+      probes = Seq(100.0, 99.0, 100.0),
+      parProbes = Seq(3000.0, 1200.0, 2990.0))
+    assert(stolen.stealSuspect)
+    // spread across STEADY passes (warm-in dropped) still flags
+    val spread = Bench.WindowResult(
+      passes = Seq((8.0, 100.0), (5.0, 160.0), (7.5, 106.0)),
+      probes = Seq(100.0, 100.0, 100.0, 100.0),
+      parProbes = Seq(3000.0, 3000.0, 3000.0, 3000.0))
+    assert(spread.passSpread > 1.4 && spread.stealSuspect)
+  }
+}

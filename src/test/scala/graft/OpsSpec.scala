@@ -243,6 +243,22 @@ class OpsSpec extends AnyFunSuite {
       "ragged/null rows must not produce candidates")
   }
 
+  test("embedding LSH: candidate recipe works on a renamed embedding column") {
+    // the column is a parameter end-to-end (round-3 hygiene item): a
+    // renamed-column fixture must produce the same candidate set as the
+    // default name — no hidden col("embedding") coupling anywhere
+    val renamed = embs.withColumnRenamed("embedding", "vec")
+    val viaDefault = DedupOps.embeddingCandidates(embs,
+        nPlanes = 4, nTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaRenamed = DedupOps.embeddingCandidates(renamed,
+        nPlanes = 4, nTables = 8, embCol = "vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaRenamed == viaDefault,
+      s"renamed-column candidates drifted: ${viaRenamed.size} vs ${viaDefault.size}")
+    assert(viaRenamed.nonEmpty)
+  }
+
   test("centroid probe kernel: primitive top-k == full sort incl. cid tie-break") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     // centroids engineered with duplicate vectors -> equal cosines ->
@@ -405,6 +421,41 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
     assert(out16.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
       .toSet == brute)
+  }
+
+  test("ANN IVF: corpus drift under an UNCHANGED centroid sample still rebuilds") {
+    // centroids are the k min-md5(vec_id) rows, i.e. a SAMPLE: a corpus
+    // gaining rows whose md5 sorts high leaves the centroid set (and a
+    // centroid-only fingerprint) identical — the round-3 ADVICE failure.
+    // The corpus digest in the fingerprint must force a rebuild.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivf_corpus_test").toString + "/index"
+    val k = 4
+    val centIds = SimilarityOps.centroids(embs, k).map(_._1).toSet
+    // subset that keeps the global k min-md5 rows -> SAME centroids
+    val subset = embs.filter(
+      col("vec_id").isin(centIds.toSeq: _*) || pmod(col("vec_id"), lit(3)) === 0)
+    assert(SimilarityOps.centroids(subset, k).map(_._1).toSet == centIds,
+      "fixture broken: subset must yield the same centroid sample")
+    val queries = embs.filter(col("vec_id") === 0)
+    SimilarityOps.ivfTopK(spark, subset, queries, base, k = 3,
+      nProbe = k, nCentroids = k).collect()
+    val metaBefore = graft.io.FsUtil.readString(s"$base/_graft_ivf_meta")
+    // now the FULL corpus against the same indexPath: centroids match,
+    // so only the corpus digest distinguishes fresh from stale. With
+    // nProbe == nCentroids the probe covers every cell -> must equal
+    // brute force over the full corpus; a stale subset index cannot.
+    val out = SimilarityOps.ivfTopK(spark, embs, queries, base, k = 3,
+        nProbe = k, nCentroids = k)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val metaAfter = graft.io.FsUtil.readString(s"$base/_graft_ivf_meta")
+    assert(metaBefore.isDefined && metaAfter.isDefined &&
+      metaBefore.get != metaAfter.get,
+      "fingerprint must change when the corpus changes under unchanged centroids")
+    val brute = SimilarityOps.bruteForceTopK(embs, queries, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(out == brute,
+      "index must rebuild when the corpus changes under unchanged centroids")
   }
 
   test("multimodal: stub decode roundtrips the synthesized header") {

@@ -65,6 +65,45 @@ class ResumeSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest/resume protocol holds on a NON-default FileSystem scheme") {
+    // graftfs:// (GraftTestFs) delegates to local storage but resolves
+    // through the Hadoop FileSystem + FileContext registries like
+    // HDFS/S3 would — a residual java.io or file:-scheme assumption in
+    // TableIO/FsUtil fails here instead of silently passing
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    hc.set("fs.AbstractFileSystem.graftfs.impl",
+      classOf[GraftTestAbstractFs].getName)
+    val turns = turnsDf()
+    val nBuckets = 4
+    val dir = "graftfs://" + freshDir()
+
+    // crash after wave 0 (buckets 0,1), then resume to completion —
+    // the full protocol (dynamic partition overwrite, manifest-commit-
+    // last via write-then-FileContext-rename, resume anti-join) runs on
+    // the non-default scheme
+    intercept[RuntimeException] {
+      TableIO.runCheckpointed(spark, turns, ExtractPipeline.extract,
+        dir, nBuckets, waveSize = 2, failAfterWaves = Some(1))
+    }
+    assert(TableIO.completedBuckets(dir, nBuckets) == Set(0, 1))
+    val resumed = TableIO.runCheckpointed(
+      spark, turns, ExtractPipeline.extract, dir, nBuckets, waveSize = 2)
+    assert(resumed.map(_.bucket).toSet == Set(2, 3))
+
+    // byte-identical to an uninterrupted run on the DEFAULT local fs
+    val refDir = freshDir()
+    TableIO.runCheckpointed(
+      spark, turns, ExtractPipeline.extract, refDir, nBuckets, waveSize = 4)
+    assert(contentOf(dir) == contentOf(refDir))
+    (0 until nBuckets).foreach { b =>
+      val a = TableIO.readManifest(dir, b).get
+      val r = TableIO.readManifest(refDir, b).get
+      assert(a.rows == r.rows && a.digest == r.digest,
+        s"bucket $b manifest drift across filesystems: $a vs $r")
+    }
+  }
+
   test("re-run over a completed table is a no-op (all buckets skipped)") {
     val turns = turnsDf()
     val dir = freshDir()

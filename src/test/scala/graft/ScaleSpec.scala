@@ -94,6 +94,53 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("long rank: rankPartition rides a forged offset past the int boundary") {
+    // the long path must rank correctly where the int path fails loudly —
+    // no 2^31-row fixture needed: forge an offset map that places this
+    // partition's conversation just below the boundary
+    val turns = (0 until 4).map(i => graft.model.Turn(
+      "conv-huge", i, "user", s"text $i", null, new java.sql.Timestamp(i)))
+    val forged = Map((3, "conv-huge") -> (Int.MaxValue.toLong - 2L))
+    val longRns = ExtractPipeline.rankPartition(
+        turns.iterator, pid = 3, forged, (o, l) => o + l)
+      .map(_._2).toSeq
+    assert(longRns == Seq(Int.MaxValue.toLong - 1L, Int.MaxValue.toLong,
+      Int.MaxValue.toLong + 1L, Int.MaxValue.toLong + 2L),
+      s"long rank must cross 2^31 densely: $longRns")
+    // the int path's combine throws at the same spot instead of aliasing
+    val intCombine: (Long, Long) => Long =
+      (o, l) => ExtractPipeline.combineRank(o, l).toLong
+    intercept[ArithmeticException] {
+      ExtractPipeline.rankPartition(
+        turns.iterator, pid = 3, forged, intCombine).foreach(_ => ())
+    }
+    // offsets for other partitions/convs don't leak in
+    val other = ExtractPipeline.rankPartition(
+      turns.iterator, pid = 1, forged, (o, l) => o + l).map(_._2).toSeq
+    assert(other == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("long rank: extractDistributedRankLong == extractLong, rn is BIGINT") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_distrank_long").toString
+    SparkEntry.transcripts(spark, nConvs = 16, cap = 24)
+      .write.mode("overwrite").parquet(dir)
+    val in = spark.read.parquet(dir)
+    val dist = ExtractPipeline.extractDistributedRankLong(in, nPart = 5)
+    val win = ExtractPipeline.extractLong(in)
+    assert(dist.schema("rn").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(win.schema("rn").dataType ==
+      org.apache.spark.sql.types.LongType)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("conv_id", "turn_idx", "rn", "kind", "text")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getString(3), r.getString(4))).toSet
+    assert(key(dist) == key(win))
+  }
+
   test("distributed rank: runDistributedRank releases the range-layout cache") {
     import spark.implicits._
     val turns = graft.data.TranscriptGen.tiny(nConvs = 8, cap = 8)
@@ -153,6 +200,41 @@ class ScaleSpec extends AnyFunSuite {
     // row content unchanged
     assert(graft.ops.Rebalance.equalizeByLength(
       skewed, length(col("text")), Seq(col("doc_id")), 8).count() == 1000)
+  }
+
+  test("extractEqualized: identical output to extract(), still ONE exchange") {
+    // the equalizer composed in front of extraction must (a) change no
+    // row — ordering keys on content, never partition layout — and
+    // (b) add NO second shuffle: its conv_id hash exchange satisfies the
+    // window's required distribution, so Catalyst elides the window's own
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_equalized").toString
+    SparkEntry.transcripts(spark, nConvs = 24, cap = 24)
+      .write.mode("overwrite").parquet(dir)
+    // a length-clustered layout ON DISK (the case this variant serves;
+    // in-plan clustering would add its own exchange and muddy the count)
+    val dirClustered = java.nio.file.Files
+      .createTempDirectory("graft_equalized_clustered").toString
+    spark.read.parquet(dir)
+      .repartitionByRange(6, length(col("text")), col("conv_id"))
+      .write.mode("overwrite").parquet(dirClustered)
+    val clustered = spark.read.parquet(dirClustered)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("conv_id", "turn_idx", "rn", "kind", "text")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+          r.getString(3), r.getString(4))).toSet
+    val eq = ExtractPipeline.extractEqualized(clustered, nPart = 8)
+    assert(key(eq) == key(ExtractPipeline.extract(spark.read.parquet(dir))))
+    eq.collect()
+    val plan = eq.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val finalTree = plan.split("== Initial Plan ==").head
+    val treeExchanges = "Exchange \\(\\d+\\)".r.findAllIn(finalTree).length
+    assert(treeExchanges == 1,
+      s"equalized pipeline must still have exactly one exchange:\n$plan")
+    assert(plan.contains("hashpartitioning"),
+      s"the one exchange must be the equalizer's conv_id hash:\n$plan")
   }
 
   test("brute-force ANN: rank filter compiles to WindowGroupLimit (partial top-k)") {

@@ -112,6 +112,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup: appended near-dup flagged, state expires") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_neardup").toString
+    val base = TranscriptGen.BaseEpochMs
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val baseText = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank while the calm afternoon sun warms the meadow grass"
+    val nearText = "the quick brown fox jumps over the lazy cat near the " +
+      "river bank while the calm afternoon sun warms the meadow grass"
+    val otherText = "completely unrelated payload discussing spark shuffle " +
+      "partitions catalyst expressions and columnar parquet encodings"
+    def append(rows: Seq[(Long, String, Long)]): Unit =
+      rows.map { case (id, txt, tsMs) =>
+        (id, txt, new java.sql.Timestamp(tsMs)) }
+        .toDF("doc_id", "text", "ts")
+        .write.mode("append").parquet(dir)
+
+    append(Seq((1L, baseText, base), (3L, otherText, base + 500)))
+    val q = StreamExtract.streamDedupMinhashCandidates(spark,
+        spark.readStream.schema(docSchema).parquet(dir),
+        horizonMs = 60000L)
+      .toDF()
+      .writeStream.format("memory").queryName("stream_neardup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def pairs(): Set[(Long, Long)] =
+        spark.sql("SELECT id_a, id_b FROM stream_neardup")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs().isEmpty, "no near-dups yet")
+
+      // a near-dup appended WITHIN the watermark horizon is flagged
+      append(Seq((2L, nearText, base + 1000)))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L)), s"got ${pairs()}")
+      // and the streamed candidate agrees with the batch operator family
+      val batchCands = graft.ops.DedupOps.minhashCandidates(
+          Seq((1L, baseText), (2L, nearText), (3L, otherText))
+            .toDF("doc_id", "text"), minJaccard = 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchCands == Set((1L, 2L)),
+        s"batch candidates drifted from stream: $batchCands")
+
+      // push the watermark far past the horizon (twice: timeouts fire on
+      // the trigger AFTER the watermark advances) so band state expires
+      val far = base + 30L * 24 * 3600 * 1000
+      for (i <- 1 to 2) {
+        append(Seq((100L + i, s"sentinel marker $i", far + i * 60000L)))
+        q.processAllAvailable()
+      }
+      // an exact copy of doc 1 arriving after expiry is NOT flagged
+      // against it — the bucket state is gone (bounded-state contract)
+      append(Seq((4L, baseText, far + 300000L)))
+      q.processAllAvailable()
+      assert(!pairs().exists(p => p._1 == 4L || p._2 == 4L),
+        s"state should have expired before doc 4: ${pairs()}")
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation produces per-kind counts") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream_agg").toString
