@@ -45,6 +45,16 @@ object Explain {
         org.apache.spark.sql.functions.col("turn_idx")),
       nPart = 8).explain("formatted")
 
+    println("==== equalized extraction (ONE exchange: the equalizer's) ====")
+    // the conv_id hash exchange up front must satisfy the window's
+    // required distribution — no second Exchange below the Window
+    ExtractPipeline.extractEqualized(spark.read.parquet(path), nPart = 8)
+      .explain("formatted")
+
+    println("==== long-rank mode (rn: bigint, distributed) ====")
+    ExtractPipeline.extractDistributedRankLong(
+      spark.read.parquet(path), nPart = 8).explain("formatted")
+
     println("==== codegen check: extract_turn inside WholeStageCodegen ====")
     val df = ExtractPipeline.extract(spark.read.parquet(path))
     df.collect() // force execution so the final (AQE-resolved) plan exists

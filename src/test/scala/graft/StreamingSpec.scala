@@ -177,6 +177,77 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup: candidates == batch banding on a seeded corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // seeded synthetic corpus: 20 base texts (deterministic word mixes),
+    // near-dups by single-word perturbation, plus short texts that the
+    // ShingleK gate must drop — no wall clock / global RNG (CLAUDE.md)
+    val words = Vector("spark", "catalyst", "shuffle", "partition",
+      "transcript", "conversation", "extraction", "window", "parquet",
+      "broadcast", "iceberg", "manifest", "watermark", "dedup", "band")
+    def baseText(i: Int): String =
+      (0 until 12).map(j => words((i * 7 + j * 3) % words.length))
+        .mkString(" ")
+    val docs: Seq[(Long, String)] =
+      (0 until 20).map(i => (i.toLong, baseText(i))) ++
+        (0 until 8).map(i => (100L + i,
+          baseText(i * 2) + " tail" + (i % 3))) ++ // near-dups of even bases
+        (0 until 4).map(i => (200L + i, "ab" + i)) // gated (< ShingleK)
+    val base = TranscriptGen.BaseEpochMs
+    val dir = Files.createTempDirectory("graft_stream_ndrand").toString
+    docs.zipWithIndex.map { case ((id, txt), k) =>
+      (id, txt, new java.sql.Timestamp(base + k * 100L)) }
+      .toDF("doc_id", "text", "ts")
+      .write.mode("overwrite").parquet(dir)
+
+    // expected (single micro-batch arrival => anchor = min doc_id per
+    // band bucket): recomputed from the SAME banding expression in batch
+    val banded = docs.toDF("doc_id", "text")
+      .filter(length(col("text")) >= graft.kernel.TextHash.ShingleK)
+      .select(col("doc_id"),
+        posexplode(graft.expr.Functions.minhash_bands(col("text")))
+          .as(Seq("band_idx", "band_key")))
+    val expected = banded
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(min(col("doc_id")).as("first"),
+        collect_set(col("doc_id")).as("ids"))
+      .collect().flatMap { r =>
+        val first = r.getLong(2)
+        r.getSeq[Long](3).filter(_ != first).map(d =>
+          (math.min(first, d), math.max(first, d), r.getInt(0)))
+      }.toSet
+
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val q = StreamExtract.streamDedupMinhashCandidates(spark,
+        spark.readStream.schema(docSchema).parquet(dir))
+      .toDF()
+      .writeStream.format("memory").queryName("stream_ndrand")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "SELECT id_a, id_b, band_idx FROM stream_ndrand")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == expected,
+        s"stream/batch banding drift: stream-only=${streamed -- expected}, " +
+          s"batch-only=${expected -- streamed}")
+      assert(expected.nonEmpty, "fixture produced no collisions at all")
+      // the injected near-dups are all flagged (recall on the fixture)
+      val flaggedDocs = streamed.flatMap(p => Set(p._1, p._2))
+      assert((0 until 8).forall(i => flaggedDocs.contains(100L + i)),
+        s"every injected near-dup must be flagged; got $flaggedDocs")
+      // gated short docs never produce candidates
+      assert(!flaggedDocs.exists(_ >= 200L))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation produces per-kind counts") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream_agg").toString
