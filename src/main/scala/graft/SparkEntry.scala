@@ -173,6 +173,15 @@ object SparkEntry {
       driverSafeTurns(ExtractPipeline.extractDistributedRankLong(
         transcripts(s, 256, 64), nPart = 7))
     }),
+    // the equalized pipeline (Rebalance.equalizeByLength in front of
+    // extraction, conv_id keys, ONE exchange) must be row-identical to
+    // extract(): hash-pinned to the same window-path dump — the third
+    // physical plan sharing the one oracle family
+    "x_equalized" -> ((s, dir) => {
+      Dumps.ensure(Dumps.turnsA(dir))(driverSafeTurns(extractedA(s)))
+      driverSafeTurns(ExtractPipeline.extractEqualized(
+        transcripts(s, 256, 64), nPart = 7))
+    }),
     // rollup over extraction metrics by payload kind (SURVEY §2.8's
     // "rollup over metrics" extra; NULL kind row = corpus totals)
     "x_kind_rollup" -> ((s, dir) => {
@@ -634,6 +643,10 @@ object SparkEntry {
       "x_dist_rank_long" ->
         s"""SELECT conv_id, turn_idx, CAST(rn AS BIGINT) AS rn, kind, text,
            |  spans_json, n_spans, ok
+           |FROM read_parquet('${Dumps.turnsA(o)}/*.parquet')
+           |ORDER BY conv_id, turn_idx, rn""".stripMargin,
+      "x_equalized" ->
+        s"""SELECT conv_id, turn_idx, rn, kind, text, spans_json, n_spans, ok
            |FROM read_parquet('${Dumps.turnsA(o)}/*.parquet')
            |ORDER BY conv_id, turn_idx, rn""".stripMargin,
       "x_kind_rollup" ->

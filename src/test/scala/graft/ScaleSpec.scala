@@ -246,6 +246,45 @@ class ScaleSpec extends AnyFunSuite {
       s"row_number()<=k should push a partial top-k below the exchange:\n$plan")
   }
 
+  test("AQE skew-join: a hot join key is split at runtime (the join-side skew valve)") {
+    import spark.implicits._
+    // convDocs handles aggregation skew with explicit salting; for JOIN
+    // skew the engine leans on AQE's runtime split — this guard proves
+    // the configuration actually fires on a hot key, so a boilerplate
+    // mega-conversation joined against a dim table cannot silently pin
+    // one reducer at 100TB scale
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 50k fact rows, ~90% on one hot key, payload wide enough to trip
+      // the byte threshold; 100-row dim side
+      val fact = spark.range(0, 50000).select(
+        when(pmod(col("id"), lit(10)) < 9, lit(7L))
+          .otherwise(pmod(col("id"), lit(100))).as("k"),
+        concat(lit("payload-"), col("id"),
+          lit("x" * 64)).as("payload"))
+      val dim = spark.range(0, 100).select(col("id").as("k"),
+        concat(lit("dim-"), col("id")).as("label"))
+      val joined = fact.join(dim, "k")
+      // collect() (not count()) so THIS DataFrame's query execution is
+      // the one that ran — AQE rewrites only the executed instance
+      assert(joined.collect().length == 50000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must split the hot key into skew partitions:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables: co-located join runs with ZERO exchanges") {
     import spark.implicits._
     // the 100 TB recipe for repeated conv-keyed joins: both sides written
