@@ -180,6 +180,17 @@ object Bench {
     (results, errors.toMap)
   }
 
+  /** JSON string-body escape: backslash, quote, and EVERY control char
+    * (an exception message with a stray control byte must not break the
+    * driver's json.load — same rule Verify applies to oracle SQL).
+    */
+  private[graft] def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => " "
+    case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -206,7 +217,8 @@ object Bench {
     forceAll(ExtractPipeline.extract(
       spark.read.parquet(path).limit(20000)))
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "4").toInt
-    val maxWindows = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "3").toInt
+    val maxWindows = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "3").toInt)
     spinProbeMops(1000000L) // JIT the probe loop itself
     val nThreads = cpus.toInt
     val windows = scala.collection.mutable.ArrayBuffer.empty[WindowResult]
@@ -227,10 +239,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errJson = qErrors.toSeq.sortBy(_._1)
-      .map { case (k, v) =>
-        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
-          .replace("\n", " ").replace("\r", " ").replace("\t", " ") + "\""
-      }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
+      .mkString("{", ",", "}")
     val total = exSec + results.map(_._2).filter(_ > 0).sum
     val passJson = headline.passes.map(p => f"${p._2}%.0f")
       .mkString("[", ",", "]")

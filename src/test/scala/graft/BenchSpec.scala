@@ -27,6 +27,18 @@ class BenchSpec extends AnyFunSuite {
     assert(!errors.contains("ok_query"))
   }
 
+  test("jsonEscape neutralizes quotes, backslashes, and control chars") {
+    val nasty = "path \"C:\\tmp\"\nline2\tcol\u0001end"
+    val esc = Bench.jsonEscape(nasty)
+    // must parse as a JSON string body
+    assert(!esc.exists(_ < ' '))
+    assert(esc.contains("\\\"") && esc.contains("\\\\"))
+    // wrapping in quotes yields valid JSON (no unescaped quote remains)
+    val body = "\"" + esc + "\""
+    assert(!body.drop(1).dropRight(1)
+      .replace("\\\\", "").replace("\\\"", "").contains("\""))
+  }
+
   test("window classification: warm-in pass excluded whenever a steadier pass exists") {
     // 2-pass window with a typical slow warm-in pass + steady second pass
     // and flat probes: must NOT be flagged (the round-3 heuristic only
