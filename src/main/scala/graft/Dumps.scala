@@ -37,6 +37,7 @@ object Dumps {
   def fp(sfDir: String): String = s"${root(sfDir)}/fingerprints"
   def blocks(sfDir: String): String = s"${root(sfDir)}/blocks"
   def mhCands(sfDir: String): String = s"${root(sfDir)}/mh_cands"
+  def mhPairs(sfDir: String): String = s"${root(sfDir)}/mh_pairs"
   def shCands(sfDir: String): String = s"${root(sfDir)}/sh_cands"
   def shCandsExt(sfDir: String): String = s"${root(sfDir)}/sh_cands_ext"
   def emCands(sfDir: String): String = s"${root(sfDir)}/em_cands"

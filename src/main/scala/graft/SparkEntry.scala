@@ -234,6 +234,20 @@ object SparkEntry {
       graft.ops.DedupOps.verifyHamming(cands, maxHamming = 6)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // the dedup TAIL: verified near-dup pairs -> connected components ->
+    // canonical survivor per cluster (min doc_id). The VERIFIED pair set
+    // is dumped and the oracle recomputes the components independently
+    // via a recursive-CTE transitive closure over the same dump
+    "dd_clusters" -> ((s, dir) => {
+      val cands = s.read.parquet(Dumps.ensure(Dumps.mhCands(dir))(
+        graft.ops.DedupOps.minhashCandidates(docs(s, dir), minJaccard = 0.6)))
+      val pairs = s.read.parquet(Dumps.ensure(Dumps.mhPairs(dir))(
+        graft.ops.DedupOps.verifyJaccard(cands, docs(s, dir), minJaccard = 0.6)
+          .select(col("id_a"), col("id_b"))))
+      graft.ops.DedupOps.clusterLabels(pairs)
+        .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
     // quadratic baseline: subset capped so cost stays bounded at any sf
     // (the exact all-pairs path is a validation tool, not a scale path)
     "dd_jaccard_exact" -> ((s, dir) =>
@@ -696,6 +710,26 @@ object SparkEntry {
            |FROM read_parquet('${Dumps.shCandsExt(o)}/*.parquet')
            |WHERE bit_count(xor(sh_a, sh_b)) <= 6
            |ORDER BY id_a, id_b""".stripMargin,
+      // transitive closure over the dumped verified pairs (bounded: the
+      // oracle-scale pair set is tiny), then min reachable id per node —
+      // an INDEPENDENT recomputation of the cluster labels
+      "dd_clusters" ->
+        s"""WITH RECURSIVE
+           |e AS (SELECT id_a, id_b
+           |      FROM read_parquet('${Dumps.mhPairs(o)}/*.parquet')),
+           |sym AS (SELECT id_a AS a, id_b AS b FROM e
+           |        UNION SELECT id_b, id_a FROM e),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+           |  WHERE s.b <> r.a),
+           |nodes AS (SELECT DISTINCT a AS doc_id FROM sym)
+           |SELECT n.doc_id,
+           |  least(n.doc_id, min(r.b)) AS cluster_id,
+           |  least(n.doc_id, min(r.b)) = n.doc_id AS is_survivor
+           |FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id
+           |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
       "dd_jaccard_exact" ->
         s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents
            |           WHERE doc_id % 10 = 0 AND doc_id < 2000),

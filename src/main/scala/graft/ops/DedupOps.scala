@@ -211,6 +211,86 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected-components cluster resolution over verified near-dup
+    * PAIRS — the tail of the dedup pipeline: candidates -> verify ->
+    * CLUSTERS -> one canonical survivor per cluster. Returns
+    * (doc_id, cluster_id) for every doc appearing in `pairs`, where
+    * cluster_id = the MIN doc_id in the connected component (content
+    * tie-break, deterministic; docs in no pair are their own implicit
+    * singleton cluster and are simply absent).
+    *
+    * Algorithm: iterative hash-min label propagation — each round every
+    * node pushes its current label to its neighbors and keeps the min;
+    * converges in O(component diameter) rounds. Per round: one
+    * ids-only join + groupBy-min shuffle (labels and edges are pairs of
+    * longs — payloads never enter), previous iteration unpersisted
+    * eagerly, convergence checked with a count of changed labels. At
+    * 100 TB the edge list is the verified near-dup pairs — orders of
+    * magnitude smaller than the corpus — and near-dup components are
+    * near-cliques (diameter 2-4 in practice), so a handful of rounds
+    * suffices; for adversarial long-chain graphs swap in the
+    * large-star/small-star variant (O(log n) rounds, same join shape).
+    * Refuses loudly (not silently-wrong) if maxIters rounds do not
+    * converge.
+    */
+  def clusterLabels(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // Lineage MUST be cut every round (eager localCheckpoint): labels
+    // feeds its own next iteration twice, so a bare persist would leave
+    // a logical plan that DOUBLES per round — exponential planning cost
+    // long before any data moves (caught by the 12-node-chain test).
+    // On a cluster job that must survive executor loss, swap
+    // localCheckpoint for checkpoint() with a checkpoint dir — same
+    // truncation, replicated blocks.
+    val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct()
+      .localCheckpoint(true) // sym is re-joined every round
+    // init: label(v) = min(v, min neighbor)
+    var labels = sym.groupBy(col("a"))
+      .agg(min(col("b")).as("nb"))
+      .select(col("a").as("doc_id"),
+        least(col("a"), col("nb")).as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // push labels one hop, take the min of (own, incoming)
+      val pushed = sym.join(labels, sym("a") === labels("doc_id"))
+        .select(col("b").as("doc_id"), col("label"))
+      val next = labels.select(col("doc_id"), col("label"))
+        .union(pushed)
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.label") < col("o.label"))
+        .count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    // the final labels checkpoint is self-contained; release the edges
+    sym.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterLabels did not converge in $maxIters rounds — component " +
+          "diameter exceeds the hash-min budget; raise maxIters or use a " +
+          "star-contraction variant for long-chain graphs")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Survivor view: docs minus every non-canonical cluster member (the
+    * doc with the min id in each near-dup cluster survives). Docs in no
+    * verified pair survive trivially. Anti-join on ids only.
+    */
+  def dedupSurvivors(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** Deterministic +-1 hyperplane sign matrix, indexed
     * [table][plane][component]. Same recipe as the round-2 per-row
     * expression — sign = +1 iff xxhash64(table, plane, i) is even, with

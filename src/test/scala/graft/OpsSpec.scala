@@ -191,6 +191,59 @@ class OpsSpec extends AnyFunSuite {
       .collect().length == 15)
   }
 
+  test("cluster labels: known graph resolves to min-id components") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {5,6}, {8,9,10} (star at 9)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 8L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val labels = DedupOps.clusterLabels(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L, 10L -> 8L))
+    // survivors: canonical member per cluster + untouched docs
+    val docs = (1L to 12L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val survivors = DedupOps.dedupSurvivors(docs,
+        DedupOps.clusterLabels(pairs))
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L, 5L, 7L, 8L, 11L, 12L))
+  }
+
+  test("cluster labels: long chain converges; too-small budget fails loudly") {
+    import spark.implicits._
+    // a 12-node chain (diameter 11) — worst case for hash-min: the min
+    // label travels one hop per round
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DedupOps.clusterLabels(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 12 && labels.forall(_._2 == 0L))
+    // with a 1-round budget the same chain must refuse, not mislabel
+    intercept[IllegalStateException] {
+      DedupOps.clusterLabels(chain, maxIters = 1)
+    }
+  }
+
+  test("cluster labels == driver-side union-find on real minhash pairs") {
+    val pairs = DedupOps.minhashNearDups(docs, minJaccard = 0.6)
+      .select(col("id_a"), col("id_b"))
+    val collected = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(collected.nonEmpty, "fixture has no near-dups at all")
+    // reference: classic union-find over the collected pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    collected.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = collected.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(v => v -> find(v)).toMap
+    val got = DedupOps.clusterLabels(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+
   test("precomputed hyperplane signs == the per-row xxhash64 recipe, bit-identical buckets") {
     // the round-2 recipe hashed (table, plane, i) per vector component per
     // row; the sign matrix must reproduce it EXACTLY or the candidate set
