@@ -304,6 +304,10 @@ object SparkEntry {
       Dumps.ensure(Dumps.fp(dir))(out)
       out
     }),
+    // per-document top-3 TF-IDF keywords: corpus-statistic scoring with
+    // no cross-term float summation anywhere (per-pair rows; rint 1e-6
+    // parity recipe), so the whole operator is a full SQL replica
+    "ta_keywords" -> ((s, dir) => graft.ops.TextOps.keywords(docs(s, dir))),
 
     // ---- width-bucketed work equalization observable (the reference's
     //      RecResizeImgForTest sort-by-width batching, rec_img_aug.py:
@@ -895,6 +899,30 @@ object SparkEntry {
            |  ON s.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin,
 
+      "ta_keywords" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+          |      t -> length(t) > 0)) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          |       FROM toks GROUP BY doc_id, term),
+          |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          |          FROM tf GROUP BY term),
+          |nn AS (SELECT count(*) AS n FROM documents),
+          |scored AS (
+          |  SELECT doc_id, term, tf, df,
+          |    round_even(ln((nn.n + 1.0) / (df + 1.0)) * 1e6, 0) / 1e6 AS idf
+          |  FROM tf JOIN dfreq USING (term) CROSS JOIN nn),
+          |s2 AS (SELECT doc_id, term, tf, df,
+          |         round_even(tf * idf * 1e6, 0) / 1e6 AS tfidf
+          |       FROM scored),
+          |r AS (SELECT doc_id, term, tf, df, tfidf,
+          |        row_number() OVER (PARTITION BY doc_id
+          |                           ORDER BY tfidf DESC, term) AS "rank"
+          |      FROM s2)
+          |SELECT doc_id, "rank", term, tf, df, tfidf
+          |FROM r WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin,
       "q_width_bucket" ->
         """SELECT CAST(least(floor(length(text) / 200.0), 12) AS INT) AS len_bucket,
           |  count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_chars

@@ -130,14 +130,21 @@ object DedupOps {
     * buckets quadratically in the key-space crowding, for C(h+2,2)
     * bands instead of h+1 — more exploded rows, each far more selective.
     */
+  /** @param passthrough extra input columns carried onto every banded
+    *        row (e.g. the event-time column for the streaming flavor —
+    *        a watermark declared upstream survives only if its column
+    *        does).
+    */
   private[graft] def simhashBands(docs: DataFrame, maxHamming: Int,
-      pairBands: Boolean): DataFrame = {
+      pairBands: Boolean,
+      passthrough: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15, "radius 0..15 supported")
     val nChunks = if (pairBands) maxHamming + 2 else maxHamming + 1
     // all-whitespace texts hash to simhash 0 and would form one
     // quadratic chunk bucket at scale — same guard family as minhash
     val hashed = docs.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), simhash64(col("text")).as("sh"))
+      .select(col("doc_id") +: simhash64(col("text")).as("sh") +:
+        passthrough.map(col): _*)
     def chunkKey(i: Int) = {
       val off = i * 64 / nChunks
       val width = (i + 1) * 64 / nChunks - off
@@ -154,11 +161,13 @@ object DedupOps {
         struct(lit(i * nChunks + j).as("chunk_idx"),
           shiftleft(chunkKey(i), 32).bitwiseOR(chunkKey(j)).as("chunk_key"))
     hashed
-      .select(col("doc_id"), col("sh"),
-        explode(array(bandStructs: _*)).as("c"))
-      .select(col("doc_id"), col("sh"),
-        col("c.chunk_idx").as("chunk_idx"),
-        col("c.chunk_key").as("chunk_key"))
+      .select(col("doc_id") +: col("sh") +:
+        explode(array(bandStructs: _*)).as("c") +:
+        passthrough.map(col): _*)
+      .select(col("doc_id") +: col("sh") +:
+        col("c.chunk_idx").as("chunk_idx") +:
+        col("c.chunk_key").as("chunk_key") +:
+        passthrough.map(col): _*)
   }
 
   /** SimHash near-dup CANDIDATE pairs (see simhashBands for the two

@@ -47,6 +47,45 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang_pred"))
 
+  /** Per-document top-k TF-IDF keywords — corpus-statistic text
+    * analysis (document keyword extraction): whitespace terms, per-term
+    * document frequency, idf = ln((N+1)/(df+1)), per-(doc, term) score
+    * tf x idf. Output is per-PAIR rows (doc_id, rank, term, tf, df,
+    * tfidf) deliberately: no cross-term float summation exists anywhere,
+    * so every double is a single rounded computation and the DuckDB
+    * oracle matches hash-exactly (rint = round_even at 1e-6, the pinned
+    * parity recipe; ranking happens on the ROUNDED score with a term
+    * tie-break, so order is engine-independent too).
+    *
+    * Scale shape: tokens explode narrow; tf is one shuffle on
+    * (doc_id, term); df one shuffle on term; the df join is keyed by
+    * term (shuffled hash join at corpus scale — the vocabulary does NOT
+    * broadcast at 100 TB); the top-k rank filter compiles to
+    * WindowGroupLimit. N (corpus size) is one count action — the same
+    * index-build-step pattern as IVF's dim probe.
+    */
+  def keywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"),
+        t => length(t) > 0)).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("idf",
+        rint(log((lit(n) + 1.0) / (col("df") + 1.0)) * 1e6) / 1e6)
+      .withColumn("tfidf", rint(col("tf") * col("idf") * 1e6) / 1e6)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text
     * (SQL-expressible on both engines), plus the 64-bit simhash
     * fingerprint from the custom expression.

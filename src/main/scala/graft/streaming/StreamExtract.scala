@@ -137,6 +137,67 @@ object StreamExtract {
         })
   }
 
+  final case class ChunkEvent(chunk_idx: Int, chunk_key: Long, doc_id: Long,
+      sh: Long, ts: java.sql.Timestamp)
+  final case class ChunkFirst(firstDocId: Long, firstSh: Long, lastTsMs: Long)
+  final case class SimhashDup(id_a: Long, id_b: Long, hamming: Int,
+      chunk_idx: Int)
+
+  /** Streaming SimHash near-dups, VERIFIED in-state: the 64-bit
+    * fingerprint is all the verify step needs, so unlike the minhash
+    * flavor (candidates only — jaccard needs the texts) this emits
+    * finished near-dup pairs: bucket state holds the first doc's
+    * (id, fingerprint) per (chunk_idx, chunk_key) — the same pigeonhole
+    * banding as batch (graft.ops.DedupOps.simhashBands, shared code) —
+    * and each later doc landing in the bucket is emitted iff
+    * bit_count(xor) <= maxHamming against that anchor. Pigeonhole recall
+    * holds vs the ANCHOR: any doc within the radius of the anchor shares
+    * at least one error-free chunk with it. ~24 bytes of state per
+    * occupied bucket, watermark-expired; emission linear in bucket size.
+    */
+  def streamDedupSimhash(spark: SparkSession, rows: DataFrame,
+      maxHamming: Int = 3, pairBands: Boolean = false,
+      textCol: String = "text", idCol: String = "doc_id",
+      tsCol: String = "ts",
+      horizonMs: Long = 10L * 60 * 1000): Dataset[SimhashDup] = {
+    import spark.implicits._
+    val base = rows.select(col(idCol).cast("long").as("doc_id"),
+        col(tsCol).as("ts"), col(textCol).as("text"))
+      .withWatermark("ts", s"$horizonMs milliseconds")
+    graft.ops.DedupOps.simhashBands(base, maxHamming, pairBands,
+        passthrough = Seq("ts"))
+      .as[ChunkEvent]
+      .groupByKey(e => (e.chunk_idx, e.chunk_key))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), events: Iterator[ChunkEvent],
+            state: GroupState[ChunkFirst]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = events.toVector
+            val docs = evs.map(e => (e.doc_id, e.sh)).distinct.sortBy(_._1)
+            val lastTs = evs.map(_.ts.getTime).max
+            val prev = state.getOption
+            val (fid, fsh) = prev.map(p => (p.firstDocId, p.firstSh))
+              .getOrElse(docs.head)
+            val out = docs.filter(_._1 != fid).flatMap { case (d, sh) =>
+              val ham = java.lang.Long.bitCount(sh ^ fsh)
+              if (ham <= maxHamming)
+                Some(SimhashDup(math.min(fid, d), math.max(fid, d),
+                  ham, key._1))
+              else None
+            }
+            val nextLast = math.max(prev.map(_.lastTsMs).getOrElse(0L), lastTs)
+            state.update(ChunkFirst(fid, fsh, nextLast))
+            state.setTimeoutTimestamp(math.max(nextLast + horizonMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+        })
+  }
+
   // --- custom state: streaming conversation-session assembly ------------
 
   final case class TurnEvent(conv_id: String, turn_idx: Int,

@@ -511,6 +511,26 @@ class OpsSpec extends AnyFunSuite {
       "index must rebuild when the corpus changes under unchanged centroids")
   }
 
+  test("tf-idf keywords: discriminative terms outrank ubiquitous ones") {
+    import spark.implicits._
+    val d = Seq((1L, "apple banana apple"), (2L, "banana cherry banana"),
+      (3L, "apple banana cherry")).toDF("doc_id", "text")
+    val kw = TextOps.keywords(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // banana is in every doc -> idf = ln(4/4) = 0 -> tfidf 0 everywhere;
+    // rarer terms (df=2, idf = ln(4/3)) must rank first
+    val rank1 = kw.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    assert(rank1 == Map(1L -> "apple", 2L -> "cherry", 3L -> "apple"))
+    // doc 3: apple and cherry tie on score -> term-asc tie-break, banana
+    // (score 0) is pushed out of the top 2
+    assert(kw.filter(t => t._1 == 3L && t._2 == 2L).map(_._3).toSeq ==
+      Seq("cherry"))
+    // tf/df bookkeeping: doc 1's apple has tf=2, df=2
+    val d1apple = kw.find(t => t._1 == 1L && t._3 == "apple").get
+    assert(d1apple._4 == 2L && d1apple._5 == 2L && d1apple._6 > 0.0)
+  }
+
   test("multimodal: stub decode roundtrips the synthesized header") {
     val feats = MultimodalOps.mediaFeatures(spark, docs.limit(50)).collect()
     assert(feats.length == 50)

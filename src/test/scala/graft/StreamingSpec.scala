@@ -248,6 +248,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash near-dup: VERIFIED pairs match batch, hamming exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = TranscriptGen.BaseEpochMs
+    // a long text pair differing in ONE character: the radius for the
+    // test is MEASURED from the kernel (self-calibrating — the point is
+    // stream==batch at the same radius, not a magic constant)
+    val aText = (1 to 8).map(i =>
+      s"distributed extraction engines favor declarative plans number $i " +
+        "because catalyst prunes columns pushes filters and picks joins")
+      .mkString(" ")
+    val bText = aText.dropRight(1) + "z"
+    val cText = "unrelated corpus about cooking recipes with garlic onion " +
+      "tomato basil and a long slow simmer on the stove tonight"
+    val radius = java.lang.Long.bitCount(
+      graft.kernel.TextHash.simhash64(aText) ^
+        graft.kernel.TextHash.simhash64(bText))
+    assert(radius >= 1 && radius <= 12,
+      s"fixture drifted: one-char edit landed at hamming $radius")
+    assert(java.lang.Long.bitCount(
+      graft.kernel.TextHash.simhash64(aText) ^
+        graft.kernel.TextHash.simhash64(cText)) > 15)
+    val rows = Seq((1L, aText, base), (2L, bText, base + 1000),
+      (3L, cText, base + 2000))
+    val dir = Files.createTempDirectory("graft_stream_simhash").toString
+    rows.map { case (id, t, ms) => (id, t, new java.sql.Timestamp(ms)) }
+      .toDF("doc_id", "text", "ts")
+      .write.mode("overwrite").parquet(dir)
+
+    val batch = graft.ops.DedupOps.simhashNearDups(
+        rows.map(r => (r._1, r._2)).toDF("doc_id", "text"),
+        maxHamming = radius)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch.nonEmpty && batch.forall(p => Set(p._1, p._2) == Set(1L, 2L)),
+      s"fixture must make (1,2) a simhash near-dup and nothing else: $batch")
+
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val q = StreamExtract.streamDedupSimhash(spark,
+        spark.readStream.schema(docSchema).parquet(dir), maxHamming = radius)
+      .toDF()
+      .writeStream.format("memory").queryName("stream_simhash")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "SELECT DISTINCT id_a, id_b, hamming FROM stream_simhash")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // the stream emits VERIFIED pairs with the exact hamming distance —
+      // identical to the batch operator on this corpus (2-doc buckets)
+      assert(streamed == batch,
+        s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation produces per-kind counts") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream_agg").toString
