@@ -48,18 +48,34 @@ class BenchSpec extends AnyFunSuite {
       probes = Seq(100.0, 101.0, 99.0),
       parProbes = Seq(3000.0, 3010.0, 2990.0))
     assert(clean2.passSpread == 1.0)
-    assert(!clean2.stealSuspect)
+    assert(!clean2.stealSuspect())
     // a sagging all-cores probe flags the window regardless of passes
     val stolen = Bench.WindowResult(
       passes = Seq((5.0, 160.0), (5.1, 157.0)),
       probes = Seq(100.0, 99.0, 100.0),
       parProbes = Seq(3000.0, 1200.0, 2990.0))
-    assert(stolen.stealSuspect)
+    assert(stolen.stealSuspect())
     // spread across STEADY passes (warm-in dropped) still flags
     val spread = Bench.WindowResult(
       passes = Seq((8.0, 100.0), (5.0, 160.0), (7.5, 106.0)),
       probes = Seq(100.0, 100.0, 100.0, 100.0),
       parProbes = Seq(3000.0, 3000.0, 3000.0, 3000.0))
-    assert(spread.passSpread > 1.4 && spread.stealSuspect)
+    assert(spread.passSpread > 1.4 && spread.stealSuspect())
+  }
+
+  test("uniformly depressed window is flagged once the run saw real capacity") {
+    // every probe equally stolen -> zero within-window sag -> the old
+    // classifier called it clean; against the run-wide capacity anchor
+    // (another window's 8200 mops) it must be flagged
+    val depressed = Bench.WindowResult(
+      passes = Seq((8.0, 100.0), (7.9, 101.0)),
+      probes = Seq(250.0, 252.0, 249.0),
+      parProbes = Seq(5700.0, 5750.0, 5720.0))
+    assert(!depressed.stealSuspect(),
+      "within-window view cannot see uniform steal (by construction)")
+    assert(depressed.stealSuspect(parRef = 8200.0),
+      "cross-window capacity anchor must flag the uniformly stolen window")
+    // a genuinely clean window stays clean against its own anchor
+    assert(!depressed.stealSuspect(parRef = 5800.0))
   }
 }

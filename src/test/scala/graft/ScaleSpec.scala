@@ -285,6 +285,21 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("tf-idf keywords: top-k compiles to WindowGroupLimit, df join not broadcast-forced") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.ops.TextOps.keywords(docs, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must push a partial top-k below the exchange:\n$plan")
+    // the df join must not carry a HARD broadcast hint: at 100TB the
+    // vocabulary side cannot broadcast (the optimizer may still choose
+    // broadcast at tiny scale from size stats — that is fine and AQE's
+    // call; a hint would force it at every scale)
+    val analyzed = graft.ops.TextOps.keywords(docs, k = 3)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("hint"), s"no broadcast hint expected:\n$analyzed")
+  }
+
   test("bucketed tables: co-located join runs with ZERO exchanges") {
     import spark.implicits._
     // the 100 TB recipe for repeated conv-keyed joins: both sides written
