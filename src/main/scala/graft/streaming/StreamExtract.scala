@@ -198,6 +198,90 @@ object StreamExtract {
         })
   }
 
+  final case class BucketEvent(table_idx: Int, bucket: Long, vec_id: Long,
+      embedding: Array[Float], ts: java.sql.Timestamp)
+  final case class BucketFirst(firstVecId: Long, firstEmb: Array[Float],
+      lastTsMs: Long)
+  final case class CosineDup(id_a: Long, id_b: Long, cos: Double,
+      table_idx: Int)
+
+  /** Streaming embedding-cosine near-dups, VERIFIED in-state — the last
+    * member of the streaming dedup family (exact / minhash-candidates /
+    * simhash-verified / embedding-verified): random-hyperplane LSH
+    * buckets via the SAME precomputed sign matrix as batch
+    * (DedupOps.hyperplaneSigns + hyperplaneTableKey, shared code);
+    * bucket state holds the anchor's (id, vector), and each later
+    * vector landing in the bucket emits a pair iff exact double-fold
+    * cosine >= minCos against that anchor. State is ~(4*dim + 16)
+    * bytes per occupied bucket, watermark-expired; emission linear in
+    * bucket size (the streaming analogue of the maxBucket valve).
+    *
+    * `dim` is a REQUIRED parameter: batch derives the canonical
+    * dimension with one agg over the corpus (the index-build step), but
+    * an unbounded stream has no corpus to probe — the caller pins the
+    * embedding dimension up front and ragged/null rows are excluded,
+    * same uniform-dim contract as batch.
+    */
+  def streamDedupEmbedding(spark: SparkSession, rows: DataFrame,
+      dim: Int, minCos: Double = 0.95, nPlanes: Int = 8, nTables: Int = 4,
+      embCol: String = "embedding", idCol: String = "vec_id",
+      tsCol: String = "ts",
+      horizonMs: Long = 10L * 60 * 1000): Dataset[CosineDup] = {
+    import spark.implicits._
+    require(dim > 0, "pin the embedding dimension up front")
+    val signs = graft.ops.DedupOps.hyperplaneSigns(nTables, nPlanes, dim)
+    def tableKey(t: Int) =
+      graft.ops.DedupOps.hyperplaneTableKey(signs, t, nPlanes, col("emb"))
+    val base = rows.select(col(idCol).cast("long").as("vec_id"),
+        col(tsCol).as("ts"), col(embCol).as("emb"))
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .filter(col("emb").isNotNull && size(col("emb")) === dim)
+    base
+      .select(col("vec_id"), col("emb").as("embedding"), col("ts"),
+        posexplode(array((0 until nTables).map(tableKey): _*))
+          .as(Seq("table_idx", "bucket")))
+      .as[BucketEvent]
+      .groupByKey(e => (e.table_idx, e.bucket))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), events: Iterator[BucketEvent],
+            state: GroupState[BucketFirst]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = events.toVector
+            val docs = evs.map(e => (e.vec_id, e.embedding))
+              .distinctBy(_._1).sortBy(_._1)
+            val lastTs = evs.map(_.ts.getTime).max
+            val prev = state.getOption
+            val (fid, femb) = prev.map(p => (p.firstVecId, p.firstEmb))
+              .getOrElse(docs.head)
+            def cosine(a: Array[Float], b: Array[Float]): Double = {
+              // exact double fold, same recipe as the cosine_sim kernel
+              var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+              while (i < a.length) {
+                dot += a(i).toDouble * b(i); nx += a(i).toDouble * a(i)
+                ny += b(i).toDouble * b(i); i += 1
+              }
+              if (nx == 0 || ny == 0) 0.0 else dot / math.sqrt(nx * ny)
+            }
+            val out = docs.filter(_._1 != fid).flatMap { case (d, emb) =>
+              val c = cosine(femb, emb)
+              if (c >= minCos)
+                Some(CosineDup(math.min(fid, d), math.max(fid, d),
+                  c, key._1))
+              else None
+            }
+            val nextLast = math.max(prev.map(_.lastTsMs).getOrElse(0L), lastTs)
+            state.update(BucketFirst(fid, femb, nextLast))
+            state.setTimeoutTimestamp(math.max(nextLast + horizonMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+        })
+  }
+
   // --- custom state: streaming conversation-session assembly ------------
 
   final case class TurnEvent(conv_id: String, turn_idx: Int,

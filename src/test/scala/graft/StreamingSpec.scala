@@ -308,6 +308,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup: VERIFIED pairs match batch, cosine bit-equal") {
+    import spark.implicits._
+    val base = TranscriptGen.BaseEpochMs
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.9f, 0.8f, 0.7f)),
+      (2L, Array(1.0f, 0.9f, 0.8f, 0.69f)), // near-identical to 1
+      (3L, Array(-1.0f, 0.5f, -0.5f, 0.2f))) // unrelated
+    val dir = Files.createTempDirectory("graft_stream_emb").toString
+    vecs.zipWithIndex.map { case ((id, v), k) =>
+      (id, v, new java.sql.Timestamp(base + k * 1000L)) }
+      .toDF("vec_id", "embedding", "ts")
+      .write.mode("overwrite").parquet(dir)
+
+    val batch = graft.ops.DedupOps.embeddingNearDups(
+        vecs.toDF("vec_id", "embedding"), minCos = 0.99,
+        nPlanes = 2, nTables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.map(p => (p._1, p._2)) == Set((1L, 2L)),
+      s"fixture must make exactly (1,2) an embedding near-dup: $batch")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val q = StreamExtract.streamDedupEmbedding(spark,
+        spark.readStream.schema(schema).parquet(dir),
+        dim = 4, minCos = 0.99, nPlanes = 2, nTables = 4)
+      .toDF()
+      .writeStream.format("memory").queryName("stream_emb")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT DISTINCT id_a, id_b, cos FROM stream_emb")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // verified pairs AND the exact cosine must match the batch verify
+      // stage bit-for-bit (same double-fold recipe)
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation produces per-kind counts") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream_agg").toString
