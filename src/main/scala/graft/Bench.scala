@@ -232,13 +232,20 @@ object Bench {
     val windows = scala.collection.mutable.ArrayBuffer.empty[WindowResult]
     // parRef only grows, so a window judged clean against the final ref
     // stays clean; loop until some window is clean vs the best capacity
-    // seen so far, or the retry budget runs out
+    // seen so far, or the retry budget runs out. AT LEAST TWO windows
+    // are always measured (budget permitting): the cross-window anchor
+    // is blind until a second sample exists — a single UNIFORMLY stolen
+    // window shows no within-window sag and its own max IS the ref, so
+    // stopping after one "clean" window would re-open exactly the blind
+    // spot the anchor closes (round-4 review finding).
+    val minWindows = math.min(2, maxWindows)
     def parRef: Double = windows.map(_.parProbes.max).max
     while (windows.size < maxWindows &&
-        !windows.exists(!_.stealSuspect(parRef))) {
+        (windows.size < minWindows || !windows.exists(!_.stealSuspect(parRef)))) {
       if (windows.nonEmpty)
         System.err.println(
-          s"[bench] window ${windows.size} flagged steal_suspect; retrying")
+          s"[bench] window ${windows.size}: no certified-clean window yet; " +
+            "measuring another")
       windows += measureWindow(spark, path, nTurns, nPasses, nThreads)
     }
     // headline: the first clean window (vs the run-wide capacity ref),

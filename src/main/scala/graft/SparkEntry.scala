@@ -938,7 +938,8 @@ object SparkEntry {
       //      pins for levenshtein) ------------------------------------
       "mm_features" ->
         """WITH ascii_ok AS (SELECT doc_id,
-          |    CASE WHEN strlen(text) = length(text) THEN text
+          |    CASE WHEN text IS NULL THEN NULL
+          |         WHEN strlen(text) = length(text) THEN text
           |         ELSE error('mm oracle requires an ASCII corpus: doc '
           |                    || doc_id || ' has multi-byte chars') END AS text
           |  FROM documents)
@@ -960,7 +961,8 @@ object SparkEntry {
       // double mean (sum of ints), rint = round_even
       "mm_transform" ->
         """WITH ascii_ok AS (SELECT doc_id,
-          |    CASE WHEN strlen(text) = length(text) THEN text
+          |    CASE WHEN text IS NULL THEN NULL
+          |         WHEN strlen(text) = length(text) THEN text
           |         ELSE error('mm oracle requires an ASCII corpus: doc '
           |                    || doc_id || ' has multi-byte chars') END AS text
           |  FROM documents),

@@ -216,17 +216,21 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
-  /** Order-invariant corpus digest: (row count, XOR of xxhash64(vec_id)).
-    * One cheap column-pruned agg over the id column. Required in the
-    * reuse fingerprint because the centroid set alone is a SAMPLE (the k
-    * min-md5 rows): a corpus that gains/loses rows whose md5 sorts high
-    * leaves the centroids identical, and a centroid-only fingerprint
-    * would silently probe a stale index missing those rows (round-3
-    * ADVICE item).
+  /** Order-invariant corpus digest: (row count, XOR of
+    * xxhash64(vec_id, embedding)) — the hash covers the VECTOR CONTENT,
+    * not just the id: an in-place re-embedding under unchanged ids (and
+    * unchanged centroid sample) must also break the fingerprint, or a
+    * stale index with the old vectors would be silently probed. One agg
+    * pass over (id, embedding); the index build scans the same columns
+    * anyway, so the digest at most doubles the build-side read and is
+    * the whole price of safe reuse. Required in the reuse fingerprint
+    * because the centroid set alone is a SAMPLE (the k min-md5 rows): a
+    * corpus changing rows outside that sample leaves the centroids
+    * identical (round-3 ADVICE item + round-4 review extension).
     */
   private[ops] def corpusDigest(corpus: DataFrame): (Long, Long) = {
     val r = corpus.agg(count(lit(1)),
-      coalesce(expr("bit_xor(xxhash64(vec_id))"), lit(0L))).head()
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L))).head()
     (r.getLong(0), r.getLong(1))
   }
 

@@ -62,33 +62,97 @@ object StreamExtract {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("text_md5")
 
-  // --- custom state: streaming near-dup candidates ----------------------
+  // --- custom state: the streaming dedup family -------------------------
 
-  final case class BandEvent(band_idx: Int, band_key: Long, doc_id: Long,
-      ts: java.sql.Timestamp)
-  final case class BandFirst(firstDocId: Long, lastTsMs: Long)
+  /** Keyed state shared by every streaming dedup flavor: the bucket's
+    * ANCHOR (min doc id seen so far within the horizon), its payload
+    * (nothing / simhash fingerprint / embedding vector), and the
+    * last-activity stamp.
+    */
+  final case class AnchorState[P](id: Long, payload: P, lastTsMs: Long)
+
   final case class DupCandidate(id_a: Long, id_b: Long, band_idx: Int)
+  final case class SimhashDup(id_a: Long, id_b: Long, hamming: Int,
+      chunk_idx: Int)
+  final case class CosineDup(id_a: Long, id_b: Long, cos: Double,
+      table_idx: Int)
+
+  /** The state skeleton every streaming dedup flavor shares (ONE
+    * implementation — a timeout or anchor fix cannot drift between the
+    * minhash/simhash/embedding ops): timeout expiry, CONTENT-MIN
+    * anchor, vs-anchor emission, timeout re-arm.
+    *
+    * Anchor semantics: the anchor is the min-id doc seen so far in the
+    * bucket — a content tie-break applied incrementally. When a smaller
+    * id arrives it TAKES OVER as anchor and the displaced anchor is
+    * compared against it on the way out, so the anchor converges to the
+    * bucket's content-min regardless of arrival order (single-batch
+    * arrival equals the batch operators' min-id anchor exactly). What
+    * remains arrival-dependent in append mode is only WHICH anchor a
+    * historical doc was compared against — inherent to bounded state
+    * with no retraction; every emitted pair is genuinely
+    * bucket-colliding and (for the verifying flavors) verified.
+    *
+    * Pairs are vs-anchor ONLY: two non-anchor docs in one bucket are
+    * never compared (bounded state cannot afford the quadratic bucket
+    * join) — the stream is the dedup-against-corpus flavor; batch
+    * remains the complete-pairs source.
+    *
+    * State cost: one (id, payload, stamp) per occupied bucket,
+    * watermark-expired; emission LINEAR in bucket size — the streaming
+    * analogue of the batch maxBucket valve (a boilerplate mega-bucket
+    * can never go quadratic here).
+    *
+    * Events are (key, doc_id, payload, ts); `emit(key, anchorId,
+    * anchorPayload, otherId, otherPayload)` is the per-flavor
+    * verify/emit rule.
+    */
+  private def anchorBucketFn[K, P, O](horizonMs: Long,
+      emit: (K, Long, P, Long, P) => Option[O])
+      : (K, Iterator[(K, Long, P, java.sql.Timestamp)],
+         GroupState[AnchorState[P]]) => Iterator[O] =
+    (key, events, state) => {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val evs = events.toVector
+        val docs = evs.map(e => (e._2, e._3)).distinctBy(_._1).sortBy(_._1)
+        val lastTs = evs.map(_._4.getTime).max
+        val prev = state.getOption
+        val candidate = docs.head
+        val (anchor, displaced) = prev match {
+          case Some(p) if p.id <= candidate._1 => ((p.id, p.payload), None)
+          case Some(p) => (candidate, Some((p.id, p.payload)))
+          case None => (candidate, None)
+        }
+        val others = (docs.filter(_._1 != anchor._1) ++ displaced)
+          .distinctBy(_._1)
+        val out = others.flatMap { case (d, pl) =>
+          emit(key, anchor._1, anchor._2, d, pl)
+        }
+        val nextLast = math.max(prev.map(_.lastTsMs).getOrElse(0L), lastTs)
+        state.update(AnchorState(anchor._1, anchor._2, nextLast))
+        // expire once the watermark passes last activity + horizon
+        // (strictly beyond the current watermark, as in convSessions)
+        state.setTimeoutTimestamp(math.max(nextLast + horizonMs,
+          state.getCurrentWatermarkMs() + 1))
+        out.iterator
+      }
+    }
 
   /** Streaming MinHash-LSH near-dup CANDIDATE stream — the streaming
     * flavor of DedupOps.minhashCandidates for a continuously appended
     * corpus. Each document rides the same 16 band keys as batch
     * (`minhash_bands`, the SAME codegen'd expression — stream and batch
-    * bucket identically), keyed state per (band_idx, band_key) bucket
-    * holds the FIRST doc_id seen inside the watermark horizon, and every
-    * later doc landing in that bucket emits a candidate pair against it
-    * (id_a < id_b; the same pair can surface once per shared band —
-    * downstream verify dedups, exactly like the batch candidates feed
-    * verifyJaccard).
-    *
-    * Scale notes: state is ~16 bytes per occupied band bucket (one long
-    * doc_id + the activity stamp), expired by the watermark; the payload
-    * text never enters state. The first-doc-only state is ALSO the
-    * streaming analogue of the batch maxBucket valve: a boilerplate
-    * mega-bucket emits pairs LINEAR in its size (all against the first
-    * doc), never the batch join's quadratic blowup. Short texts are
-    * gated exactly like batch (< ShingleK chars cannot be shingle
-    * near-dups); the gate sits AFTER the watermark so gated rows still
-    * advance event time.
+    * bucket identically); anchor-bucket state per (band_idx, band_key)
+    * (see anchorBucketFn), every later doc emits a candidate pair
+    * against the anchor (id_a < id_b; the same pair can surface once
+    * per shared band — downstream verify dedups, exactly like the batch
+    * candidates feed verifyJaccard). Payload text never enters state
+    * (~16 bytes/bucket). Short texts are gated exactly like batch
+    * (< ShingleK chars cannot be shingle near-dups); the gate sits
+    * AFTER the watermark so gated rows still advance event time.
     */
   def streamDedupMinhashCandidates(spark: SparkSession, rows: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
@@ -103,57 +167,29 @@ object StreamExtract {
       .select(col("doc_id"), col("ts"),
         posexplode(Functions.minhash_bands(col("text")))
           .as(Seq("band_idx", "band_key")))
-      .select(col("band_idx"), col("band_key"), col("doc_id"), col("ts"))
-      .as[BandEvent]
-      .groupByKey(e => (e.band_idx, e.band_key))
+      // tuple shape via select (NOT a typed .map — MapElements would
+      // re-serialize and strip the watermark tag off the ts attribute)
+      .select(struct(col("band_idx"), col("band_key")).as("_1"),
+        col("doc_id").as("_2"), lit(0L).as("_3"), col("ts").as("_4"))
+      .as[((Int, Long), Long, Long, java.sql.Timestamp)] // payload unused
+      .groupByKey(_._1)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (key: (Int, Long), events: Iterator[BandEvent],
-            state: GroupState[BandFirst]) => {
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val evs = events.toVector
-            // deterministic within a micro-batch: the smallest doc_id in
-            // the bucket's first batch becomes the anchor (arrival order
-            // across batches is inherently stream-dependent; candidates
-            // are verified downstream either way)
-            val ids = evs.map(_.doc_id).distinct.sorted
-            val lastTs = evs.map(_.ts.getTime).max
-            val prev = state.getOption
-            val first = prev.map(_.firstDocId).getOrElse(ids.head)
-            val out = ids.filter(_ != first).map { d =>
-              DupCandidate(math.min(first, d), math.max(first, d), key._1)
-            }
-            val nextLast = math.max(prev.map(_.lastTsMs).getOrElse(0L), lastTs)
-            state.update(BandFirst(first, nextLast))
-            // expire once the watermark passes last activity + horizon
-            // (strictly beyond the current watermark, as in convSessions)
-            state.setTimeoutTimestamp(math.max(nextLast + horizonMs,
-              state.getCurrentWatermarkMs() + 1))
-            out.iterator
-          }
-        })
+        anchorBucketFn[(Int, Long), Long, DupCandidate](horizonMs,
+          (key, aid, _, oid, _) => Some(
+            DupCandidate(math.min(aid, oid), math.max(aid, oid), key._1))))
   }
-
-  final case class ChunkEvent(chunk_idx: Int, chunk_key: Long, doc_id: Long,
-      sh: Long, ts: java.sql.Timestamp)
-  final case class ChunkFirst(firstDocId: Long, firstSh: Long, lastTsMs: Long)
-  final case class SimhashDup(id_a: Long, id_b: Long, hamming: Int,
-      chunk_idx: Int)
 
   /** Streaming SimHash near-dups, VERIFIED in-state: the 64-bit
     * fingerprint is all the verify step needs, so unlike the minhash
     * flavor (candidates only — jaccard needs the texts) this emits
-    * finished near-dup pairs: bucket state holds the first doc's
-    * (id, fingerprint) per (chunk_idx, chunk_key) — the same pigeonhole
-    * banding as batch (graft.ops.DedupOps.simhashBands, shared code) —
-    * and each later doc landing in the bucket is emitted iff
-    * bit_count(xor) <= maxHamming against that anchor. Pigeonhole recall
-    * holds vs the ANCHOR: any doc within the radius of the anchor shares
-    * at least one error-free chunk with it. ~24 bytes of state per
-    * occupied bucket, watermark-expired; emission linear in bucket size.
+    * finished near-dup pairs. Bucketing is the same pigeonhole banding
+    * as batch (graft.ops.DedupOps.simhashBands, shared code); each doc
+    * landing in an occupied bucket is emitted iff bit_count(xor) <=
+    * maxHamming against the anchor (anchorBucketFn). Pigeonhole recall
+    * holds vs the ANCHOR: any doc within the radius of the anchor
+    * shares at least one error-free chunk with it. ~24 bytes of state
+    * per occupied bucket.
     */
   def streamDedupSimhash(spark: SparkSession, rows: DataFrame,
       maxHamming: Int = 3, pairBands: Boolean = false,
@@ -166,55 +202,30 @@ object StreamExtract {
       .withWatermark("ts", s"$horizonMs milliseconds")
     graft.ops.DedupOps.simhashBands(base, maxHamming, pairBands,
         passthrough = Seq("ts"))
-      .as[ChunkEvent]
-      .groupByKey(e => (e.chunk_idx, e.chunk_key))
+      .select(struct(col("chunk_idx"), col("chunk_key")).as("_1"),
+        col("doc_id").as("_2"), col("sh").as("_3"), col("ts").as("_4"))
+      .as[((Int, Long), Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (key: (Int, Long), events: Iterator[ChunkEvent],
-            state: GroupState[ChunkFirst]) => {
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val evs = events.toVector
-            val docs = evs.map(e => (e.doc_id, e.sh)).distinct.sortBy(_._1)
-            val lastTs = evs.map(_.ts.getTime).max
-            val prev = state.getOption
-            val (fid, fsh) = prev.map(p => (p.firstDocId, p.firstSh))
-              .getOrElse(docs.head)
-            val out = docs.filter(_._1 != fid).flatMap { case (d, sh) =>
-              val ham = java.lang.Long.bitCount(sh ^ fsh)
-              if (ham <= maxHamming)
-                Some(SimhashDup(math.min(fid, d), math.max(fid, d),
-                  ham, key._1))
-              else None
-            }
-            val nextLast = math.max(prev.map(_.lastTsMs).getOrElse(0L), lastTs)
-            state.update(ChunkFirst(fid, fsh, nextLast))
-            state.setTimeoutTimestamp(math.max(nextLast + horizonMs,
-              state.getCurrentWatermarkMs() + 1))
-            out.iterator
-          }
-        })
+        anchorBucketFn[(Int, Long), Long, SimhashDup](horizonMs,
+          (key, aid, ash, oid, osh) => {
+            val ham = java.lang.Long.bitCount(ash ^ osh)
+            if (ham <= maxHamming)
+              Some(SimhashDup(math.min(aid, oid), math.max(aid, oid),
+                ham, key._1))
+            else None
+          }))
   }
-
-  final case class BucketEvent(table_idx: Int, bucket: Long, vec_id: Long,
-      embedding: Array[Float], ts: java.sql.Timestamp)
-  final case class BucketFirst(firstVecId: Long, firstEmb: Array[Float],
-      lastTsMs: Long)
-  final case class CosineDup(id_a: Long, id_b: Long, cos: Double,
-      table_idx: Int)
 
   /** Streaming embedding-cosine near-dups, VERIFIED in-state — the last
     * member of the streaming dedup family (exact / minhash-candidates /
     * simhash-verified / embedding-verified): random-hyperplane LSH
     * buckets via the SAME precomputed sign matrix as batch
     * (DedupOps.hyperplaneSigns + hyperplaneTableKey, shared code);
-    * bucket state holds the anchor's (id, vector), and each later
-    * vector landing in the bucket emits a pair iff exact double-fold
-    * cosine >= minCos against that anchor. State is ~(4*dim + 16)
-    * bytes per occupied bucket, watermark-expired; emission linear in
-    * bucket size (the streaming analogue of the maxBucket valve).
+    * bucket state holds the anchor's (id, vector) — ~(4*dim + 16)
+    * bytes — and each later vector is emitted iff the exact double-fold
+    * cosine against the anchor clears minCos (anchorBucketFn).
     *
     * `dim` is a REQUIRED parameter: batch derives the canonical
     * dimension with one agg over the corpus (the index-build step), but
@@ -232,54 +243,38 @@ object StreamExtract {
     val signs = graft.ops.DedupOps.hyperplaneSigns(nTables, nPlanes, dim)
     def tableKey(t: Int) =
       graft.ops.DedupOps.hyperplaneTableKey(signs, t, nPlanes, col("emb"))
-    val base = rows.select(col(idCol).cast("long").as("vec_id"),
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      // exact double fold, same recipe as the cosine_sim kernel (the
+      // spec asserts streamed cosines are BIT-equal to batch verify)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); nx += a(i).toDouble * a(i)
+        ny += b(i).toDouble * b(i); i += 1
+      }
+      if (nx == 0 || ny == 0) 0.0 else dot / math.sqrt(nx * ny)
+    }
+    rows.select(col(idCol).cast("long").as("vec_id"),
         col(tsCol).as("ts"), col(embCol).as("emb"))
       .withWatermark("ts", s"$horizonMs milliseconds")
       .filter(col("emb").isNotNull && size(col("emb")) === dim)
-    base
       .select(col("vec_id"), col("emb").as("embedding"), col("ts"),
         posexplode(array((0 until nTables).map(tableKey): _*))
           .as(Seq("table_idx", "bucket")))
-      .as[BucketEvent]
-      .groupByKey(e => (e.table_idx, e.bucket))
+      .select(struct(col("table_idx"), col("bucket")).as("_1"),
+        col("vec_id").as("_2"), col("embedding").as("_3"),
+        col("ts").as("_4"))
+      .as[((Int, Long), Long, Array[Float], java.sql.Timestamp)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (key: (Int, Long), events: Iterator[BucketEvent],
-            state: GroupState[BucketFirst]) => {
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val evs = events.toVector
-            val docs = evs.map(e => (e.vec_id, e.embedding))
-              .distinctBy(_._1).sortBy(_._1)
-            val lastTs = evs.map(_.ts.getTime).max
-            val prev = state.getOption
-            val (fid, femb) = prev.map(p => (p.firstVecId, p.firstEmb))
-              .getOrElse(docs.head)
-            def cosine(a: Array[Float], b: Array[Float]): Double = {
-              // exact double fold, same recipe as the cosine_sim kernel
-              var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-              while (i < a.length) {
-                dot += a(i).toDouble * b(i); nx += a(i).toDouble * a(i)
-                ny += b(i).toDouble * b(i); i += 1
-              }
-              if (nx == 0 || ny == 0) 0.0 else dot / math.sqrt(nx * ny)
-            }
-            val out = docs.filter(_._1 != fid).flatMap { case (d, emb) =>
-              val c = cosine(femb, emb)
-              if (c >= minCos)
-                Some(CosineDup(math.min(fid, d), math.max(fid, d),
-                  c, key._1))
-              else None
-            }
-            val nextLast = math.max(prev.map(_.lastTsMs).getOrElse(0L), lastTs)
-            state.update(BucketFirst(fid, femb, nextLast))
-            state.setTimeoutTimestamp(math.max(nextLast + horizonMs,
-              state.getCurrentWatermarkMs() + 1))
-            out.iterator
-          }
-        })
+        anchorBucketFn[(Int, Long), Array[Float], CosineDup](horizonMs,
+          (key, aid, aemb, oid, oemb) => {
+            val c = cosine(aemb, oemb)
+            if (c >= minCos)
+              Some(CosineDup(math.min(aid, oid), math.max(aid, oid),
+                c, key._1))
+            else None
+          }))
   }
 
   // --- custom state: streaming conversation-session assembly ------------

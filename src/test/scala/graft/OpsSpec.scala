@@ -531,6 +531,38 @@ class OpsSpec extends AnyFunSuite {
     assert(d1apple._4 == 2L && d1apple._5 == 2L && d1apple._6 > 0.0)
   }
 
+  test("ANN IVF: in-place re-embedding under unchanged ids also rebuilds") {
+    // round-4 review extension of the corpus-digest fix: same vec_ids,
+    // same count, same centroid sample — only one non-centroid VECTOR
+    // changes in place. An id-only digest would match and probe the
+    // stale index; the content digest must rebuild.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivf_reembed_test").toString + "/index"
+    val k = 4
+    val centIds = SimilarityOps.centroids(embs, k).map(_._1).toSet
+    val victim = embs.filter(!col("vec_id").isin(centIds.toSeq: _*))
+      .agg(min(col("vec_id"))).head().getLong(0)
+    val mutated = embs.withColumn("embedding",
+      when(col("vec_id") === victim,
+        transform(col("embedding"), v => v + lit(1.5f)))
+        .otherwise(col("embedding")))
+    assert(SimilarityOps.centroids(mutated, k).map(_._1).toSet == centIds)
+    val queries = embs.filter(col("vec_id") === 0)
+    SimilarityOps.ivfTopK(spark, embs, queries, base, k = 3,
+      nProbe = k, nCentroids = k).collect()
+    val metaBefore = graft.io.FsUtil.readString(s"$base/_graft_ivf_meta")
+    val out = SimilarityOps.ivfTopK(spark, mutated, queries, base, k = 3,
+        nProbe = k, nCentroids = k)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val metaAfter = graft.io.FsUtil.readString(s"$base/_graft_ivf_meta")
+    assert(metaBefore.isDefined && metaAfter.isDefined &&
+      metaBefore.get != metaAfter.get,
+      "fingerprint must change when a vector changes under unchanged ids")
+    val brute = SimilarityOps.bruteForceTopK(mutated, queries, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(out == brute)
+  }
+
   test("multimodal: stub decode roundtrips the synthesized header") {
     val feats = MultimodalOps.mediaFeatures(spark, docs.limit(50)).collect()
     assert(feats.length == 50)

@@ -352,6 +352,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup anchor: smaller id TAKES OVER across micro-batches") {
+    import spark.implicits._
+    // three identical texts arriving in separate micro-batches in
+    // DESCENDING id order: the anchor must converge to the content-min
+    // id (5 anchors first; 2 takes over and is compared against 5; 3
+    // then pairs against the NEW anchor 2, not against 5)
+    val txt = "identical payload text used by every document in this fixture"
+    val base = TranscriptGen.BaseEpochMs
+    val dir = Files.createTempDirectory("graft_stream_anchor").toString
+    def append(id: Long, tsMs: Long): Unit =
+      Seq((id, txt, new java.sql.Timestamp(tsMs)))
+        .toDF("doc_id", "text", "ts")
+        .write.mode("append").parquet(dir)
+    append(5L, base)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val q = StreamExtract.streamDedupMinhashCandidates(spark,
+        spark.readStream.schema(docSchema).parquet(dir),
+        horizonMs = 600000L)
+      .toDF()
+      .writeStream.format("memory").queryName("stream_anchor")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def pairs(): Set[(Long, Long)] =
+        spark.sql("SELECT DISTINCT id_a, id_b FROM stream_anchor")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs().isEmpty)
+      append(2L, base + 1000); q.processAllAvailable()
+      assert(pairs() == Set((2L, 5L)),
+        s"takeover must pair the displaced anchor: ${pairs()}")
+      append(3L, base + 2000); q.processAllAvailable()
+      assert(pairs() == Set((2L, 5L), (2L, 3L)),
+        s"later docs must compare vs the NEW content-min anchor: ${pairs()}")
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation produces per-kind counts") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream_agg").toString
