@@ -204,7 +204,7 @@ object SimilarityOps {
     val cells = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0))
     val indexed = spark.read.parquet(indexPath)
-      .filter(col("centroid_id").cast("long").isin(cells: _*))
+      .filter(col("centroid_id").cast("long").isin(cells.toIndexedSeq: _*))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     indexed.join(broadcast(probes),
