@@ -176,8 +176,11 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      // NonFatal only: an OutOfMemoryError/StackOverflowError must abort
+      // the whole bench (timings on a compromised JVM are not an
+      // artifact), not be recorded as a per-query -1 (round-4 ADVICE)
       val ok = try { forceAll(fn(spark, sfDir)); true }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           errors(name) =
             s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
               .take(300)

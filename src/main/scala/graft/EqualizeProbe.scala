@@ -61,7 +61,7 @@ object EqualizeProbe {
       ("lencluster_equalized", lenClustered, true),
       ("kindcluster_extract", kindClustered, false),
       ("kindcluster_equalized", kindClustered, true))
-    configs.foreach { case (_, p, eq) => time(p, eq) } // warm all four
+    configs.foreach { case (_, p, eq) => time(p, eq) } // warm every config
     Bench.spinProbeMops(1000000L)
     val nThreads = cpus.toInt
     val probes = scala.collection.mutable.ArrayBuffer(

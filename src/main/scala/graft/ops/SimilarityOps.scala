@@ -228,10 +228,20 @@ object SimilarityOps {
     * corpus changing rows outside that sample leaves the centroids
     * identical (round-3 ADVICE item + round-4 review extension).
     */
-  private[ops] def corpusDigest(corpus: DataFrame): (Long, Long) = {
+  /** (count, XOR fold, SUM fold) — the SUM (exact, unlimited decimal, so
+    * no overflow and no ANSI failure at any corpus size) is
+    * multiplicity-sensitive where XOR is not: XOR cancels even-repeated
+    * rows, so a corpus of exact-duplicate (vec_id, embedding) rows could
+    * drift (e.g. {a,a,b} -> {b,c,c}) under identical count+XOR unless
+    * vec_id uniqueness were an enforced contract — which it is not
+    * (round-4 ADVICE item).
+    */
+  private[ops] def corpusDigest(corpus: DataFrame): (Long, Long, String) = {
     val r = corpus.agg(count(lit(1)),
-      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L))).head()
-    (r.getLong(0), r.getLong(1))
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)),
+      coalesce(sum(xxhash64(col("vec_id"), col("embedding"))
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))).head()
+    (r.getLong(0), r.getLong(1), r.getDecimal(2).toBigInteger.toString)
   }
 
   /** Content fingerprint of an index configuration: nCentroids, the full
@@ -243,7 +253,7 @@ object SimilarityOps {
     * unchanged centroid sample).
     */
   private[ops] def indexFingerprint(cents: Array[(Long, Array[Float])],
-      nCentroids: Int, corpus: (Long, Long)): String = {
+      nCentroids: Int, corpus: (Long, Long, String)): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(8)
     def putLong(l: Long): Unit = {
@@ -252,6 +262,7 @@ object SimilarityOps {
     putLong(nCentroids.toLong)
     putLong(corpus._1)
     putLong(corpus._2)
+    md.update(corpus._3.getBytes("UTF-8"))
     cents.foreach { case (id, emb) =>
       putLong(id)
       emb.foreach(f => putLong(java.lang.Float.floatToIntBits(f).toLong))
