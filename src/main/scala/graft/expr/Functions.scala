@@ -24,6 +24,8 @@ object Functions {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c)))
   def minhash_bands(c: Column): Column =
     ColumnBridge.column(MinHashBands(ColumnBridge.expression(c)))
+  def minhash_bands_of_sig(c: Column): Column =
+    ColumnBridge.column(MinHashBandsOfSig(ColumnBridge.expression(c)))
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
   def ngram_jaccard(a: Column, b: Column): Column =
@@ -46,6 +48,9 @@ object Functions {
       "minhash_sig", exprs => MinHashSig(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "minhash_bands", exprs => MinHashBands(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_bands_of_sig",
+      exprs => MinHashBandsOfSig(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(

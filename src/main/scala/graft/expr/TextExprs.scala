@@ -16,11 +16,30 @@ object TextExprKernels {
   private val K = "graft.expr.TextExprKernels$.MODULE$"
   val Ref: String = K
 
-  def minhashSig(s: UTF8String): ArrayData =
+  /** Evaluation counters for the two expensive text-hash kernels
+    * (LongAdder: striped, ~no contention, <1ns next to a full-text hash
+    * pass). They exist so "the hashing runs ONCE per row" is a counted
+    * FACT, not a plan-string inference — BandingSpec resets them, runs a
+    * candidate op, and asserts the count equals the row count (local
+    * mode only: in a real cluster each executor JVM counts its own rows).
+    */
+  val sigEvals = new java.util.concurrent.atomic.LongAdder
+  val simhashEvals = new java.util.concurrent.atomic.LongAdder
+
+  def minhashSig(s: UTF8String): ArrayData = {
+    sigEvals.increment()
     new GenericArrayData(TextHash.minhashSig(s.toString))
-  def minhashBands(s: UTF8String): ArrayData =
+  }
+  def minhashBands(s: UTF8String): ArrayData = {
+    sigEvals.increment() // bands-from-text runs the full sig pass too
     new GenericArrayData(TextHash.lshBandKeys(TextHash.minhashSig(s.toString)))
-  def simhash(s: UTF8String): Long = TextHash.simhash64(s.toString)
+  }
+  def minhashBandsOfSig(sig: ArrayData): ArrayData =
+    new GenericArrayData(TextHash.lshBandKeys(sig.toLongArray()))
+  def simhash(s: UTF8String): Long = {
+    simhashEvals.increment()
+    TextHash.simhash64(s.toString)
+  }
   def ngramJaccard(a: UTF8String, b: UTF8String): Double =
     TextHash.ngramJaccard(a.toString, b.toString)
   def langId(s: UTF8String): UTF8String =
@@ -72,6 +91,22 @@ case class MinHashBands(child: Expression) extends StaticUnary {
   override def prettyName = "minhash_bands"
   override def nullSafeEval(v: Any): Any =
     TextExprKernels.minhashBands(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** minhash_bands_of_sig(sig) -> array<bigint>[16]: the band fold ALONE,
+  * over an already-computed signature column — so a pipeline that needs
+  * both the bands (bucketing) and the signature (screening) computes the
+  * expensive shingle+64-min pass ONCE and derives the bands from it
+  * (DedupOps.minhashCandidates), instead of hashing the text twice via
+  * minhash_bands(text) + minhash_sig(text).
+  */
+case class MinHashBandsOfSig(child: Expression) extends StaticUnary {
+  def staticFn = "minhashBandsOfSig"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName = "minhash_bands_of_sig"
+  override def nullSafeEval(v: Any): Any =
+    TextExprKernels.minhashBandsOfSig(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
