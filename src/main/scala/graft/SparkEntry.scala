@@ -85,6 +85,47 @@ object SparkEntry {
   private val shinglesSql =
     "list_distinct(list_transform(range(1, length(text)-3), x -> substring(text, CAST(x AS INT), 5)))"
 
+  /** Shared DuckDB CTE block replicating TextHash.qualityScore
+    * (rint = round_even) and TextHash.langId (cjk short-circuit,
+    * stopword argmax with first-in-sorted-order tie-break) over `src`,
+    * which must expose (doc_id, text). Defines `qual(doc_id, quality)`
+    * and `lang(doc_id, lang_pred)` — consumed by ta_scores, ta_langid,
+    * ta_quality_gate, and the x_corpus gate stage, so the replica cannot
+    * drift between them. ASCII corpus => [A-Za-z] = Character.isLetter.
+    */
+  private def scoreCtesSql(src: String): String =
+    s"""f AS (SELECT doc_id, text,
+       |  CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+       |    / ((length(text) - length(replace(text, ' ', ''))) + 1) AS mwl
+       | FROM $src),
+       |qual AS (SELECT doc_id,
+       |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |  round_even((
+       |    0.3 * least(1.0, length(text) / 200.0)
+       |  + 0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
+       |  + 0.3 * (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0
+       |                WHEN mwl < 3 THEN mwl / 3.0 ELSE 10.0 / mwl END)
+       |  ) * 1e6, 0) / 1e6 END AS quality
+       | FROM f),
+       |lc AS (SELECT doc_id,
+       |  CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0
+       |        AND CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)
+       |            / length(regexp_replace(text, '\\s', '', 'g')) > 0.2
+       |       THEN TRUE ELSE FALSE END AS is_zh,
+       |  len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ('der','die','das','und','ist','von','mit','den','ein','nicht'))) AS n_de,
+       |  len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ('the','and','of','to','in','is','that','for','it','with'))) AS n_en,
+       |  len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ('el','la','los','de','que','y','es','en','una','por'))) AS n_es,
+       |  len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ('le','la','les','de','des','et','est','que','une','dans'))) AS n_fr
+       | FROM $src),
+       |lang AS (SELECT doc_id,
+       |  CASE WHEN is_zh THEN 'zh'
+       |       WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+       |       WHEN n_de = greatest(n_de, n_en, n_es, n_fr) THEN 'de'
+       |       WHEN n_en = greatest(n_de, n_en, n_es, n_fr) THEN 'en'
+       |       WHEN n_es = greatest(n_de, n_en, n_es, n_fr) THEN 'es'
+       |       ELSE 'fr' END AS lang_pred
+       | FROM lc)""".stripMargin
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -295,6 +336,16 @@ object SparkEntry {
         graft.expr.Functions.lang_id(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
     "ta_langid" -> ((s, dir) => graft.ops.TextOps.langIdReport(docs(s, dir))),
+    // quality/language gate (Gopher/C4 filter family): every row
+    // annotated, reject_reason NULL = kept — thresholds chosen so all
+    // four classes (kept, low_quality, bad_lang, both) are non-empty at
+    // the oracle sf
+    "ta_quality_gate" -> ((s, dir) =>
+      graft.ops.TextOps.qualityGate(docs(s, dir), minQuality = 0.8,
+          langs = Seq("en"))
+        .select(col("doc_id"), col("quality"), col("lang_pred"),
+          col("reject_reason"))
+        .orderBy(col("doc_id"))),
     // fp_md5 is recomputed from scratch by DuckDB; fp_simhash rides the
     // dump-based oracle (like the dd family): the dumped fingerprints are
     // an independent second evaluation of the kernel that the oracle
@@ -830,66 +881,29 @@ object SparkEntry {
           |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
           |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
           |FROM documents ORDER BY doc_id""".stripMargin,
-      // full replica of TextHash.qualityScore (rint = round_even) and
-      // TextHash.langId (cjk ratio short-circuit; stopword argmax with
-      // first-in-sorted-order tie-break); ASCII corpus => [A-Za-z]
-      // matches Character.isLetter
+      // full replica of TextHash.qualityScore + TextHash.langId — the
+      // shared scoreCtesSql block (also consumed by ta_quality_gate and
+      // x_corpus, so the replica cannot drift between queries)
       "ta_scores" ->
-        """WITH f AS (SELECT doc_id, text,
-          |  CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
-          |    / ((length(text) - length(replace(text, ' ', ''))) + 1) AS mwl
-          | FROM documents),
-          |qual AS (SELECT doc_id,
-          |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
-          |  round_even((
-          |    0.3 * least(1.0, length(text) / 200.0)
-          |  + 0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
-          |  + 0.3 * (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0
-          |                WHEN mwl < 3 THEN mwl / 3.0 ELSE 10.0 / mwl END)
-          |  ) * 1e6, 0) / 1e6 END AS quality
-          | FROM f),
-          |lc AS (SELECT doc_id,
-          |  CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
-          |        AND CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
-          |            / length(regexp_replace(text, '\s', '', 'g')) > 0.2
-          |       THEN TRUE ELSE FALSE END AS is_zh,
-          |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ('der','die','das','und','ist','von','mit','den','ein','nicht'))) AS n_de,
-          |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ('the','and','of','to','in','is','that','for','it','with'))) AS n_en,
-          |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ('el','la','los','de','que','y','es','en','una','por'))) AS n_es,
-          |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ('le','la','les','de','des','et','est','que','une','dans'))) AS n_fr
-          | FROM documents),
-          |lang AS (SELECT doc_id,
-          |  CASE WHEN is_zh THEN 'zh'
-          |       WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
-          |       WHEN n_de = greatest(n_de, n_en, n_es, n_fr) THEN 'de'
-          |       WHEN n_en = greatest(n_de, n_en, n_es, n_fr) THEN 'en'
-          |       WHEN n_es = greatest(n_de, n_en, n_es, n_fr) THEN 'es'
-          |       ELSE 'fr' END AS lang_pred
-          | FROM lc)
-          |SELECT qual.doc_id, quality, lang_pred
-          |FROM qual JOIN lang ON qual.doc_id = lang.doc_id
-          |ORDER BY qual.doc_id""".stripMargin,
+        s"""WITH ${scoreCtesSql("documents")}
+           |SELECT qual.doc_id, quality, lang_pred
+           |FROM qual JOIN lang ON qual.doc_id = lang.doc_id
+           |ORDER BY qual.doc_id""".stripMargin,
       "ta_langid" ->
-        """WITH lc AS (SELECT doc_id,
-          |  CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
-          |        AND CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
-          |            / length(regexp_replace(text, '\s', '', 'g')) > 0.2
-          |       THEN TRUE ELSE FALSE END AS is_zh,
-          |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ('der','die','das','und','ist','von','mit','den','ein','nicht'))) AS n_de,
-          |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ('the','and','of','to','in','is','that','for','it','with'))) AS n_en,
-          |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ('el','la','los','de','que','y','es','en','una','por'))) AS n_es,
-          |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ('le','la','les','de','des','et','est','que','une','dans'))) AS n_fr
-          | FROM documents),
-          |lang AS (SELECT doc_id,
-          |  CASE WHEN is_zh THEN 'zh'
-          |       WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
-          |       WHEN n_de = greatest(n_de, n_en, n_es, n_fr) THEN 'de'
-          |       WHEN n_en = greatest(n_de, n_en, n_es, n_fr) THEN 'en'
-          |       WHEN n_es = greatest(n_de, n_en, n_es, n_fr) THEN 'es'
-          |       ELSE 'fr' END AS lang_pred
-          | FROM lc)
-          |SELECT lang_pred, count(*) AS n FROM lang
-          |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+        s"""WITH ${scoreCtesSql("documents")}
+           |SELECT lang_pred, count(*) AS n FROM lang
+           |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+      // the gate's kept/rejected split is pure CASE over the same replica
+      "ta_quality_gate" ->
+        s"""WITH ${scoreCtesSql("documents")}
+           |SELECT qual.doc_id, quality, lang_pred,
+           |  CASE WHEN quality < 0.8 AND lang_pred NOT IN ('en')
+           |         THEN 'low_quality+bad_lang'
+           |       WHEN quality < 0.8 THEN 'low_quality'
+           |       WHEN lang_pred NOT IN ('en') THEN 'bad_lang'
+           |  END AS reject_reason
+           |FROM qual JOIN lang ON qual.doc_id = lang.doc_id
+           |ORDER BY qual.doc_id""".stripMargin,
       "ta_fingerprint" ->
         s"""SELECT d.doc_id,
            |  md5(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))) AS fp_md5,

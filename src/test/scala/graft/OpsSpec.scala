@@ -563,6 +563,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out == brute)
   }
 
+  test("quality gate: pinned reason codes, kept+rejected partition the corpus") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "This is a reasonably long well formed english sentence with the " +
+        "usual words in it and it keeps going for a while so that the " +
+        "length factor saturates completely for the quality blend here."),
+      (2L, "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( )))) $$$$"), // low q, und
+      (3L, "le chat est dans la maison et il est dans le salon avec le " +
+        "chien et les enfants qui sont dans le jardin depuis le matin et " +
+        "que la lumiere est belle dans les arbres de la maison ce soir la"),
+      (4L, "zz qq")) // short garbage: low quality AND und
+      .toDF("doc_id", "text")
+    val gate = TextOps.qualityGate(fixture, minQuality = 0.8, Seq("en"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("reject_reason"))
+      .toMap
+    assert(gate(1L) == null)
+    assert(gate(2L) == "low_quality+bad_lang")
+    assert(gate(3L) == "bad_lang") // good quality, wrong language
+    assert(gate(4L) == "low_quality+bad_lang")
+    // kept + rejected partition the input; kept keeps its annotations
+    val kept = TextOps.qualityFilter(fixture, 0.8, Seq("en"))
+    assert(kept.columns.toSeq ==
+      Seq("doc_id", "text", "quality", "lang_pred"))
+    assert(kept.collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(TextOps.qualityRejected(fixture, 0.8, Seq("en"))
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+  }
+
   test("multimodal: stub decode roundtrips the synthesized header") {
     val feats = MultimodalOps.mediaFeatures(spark, docs.limit(50)).collect()
     assert(feats.length == 50)
