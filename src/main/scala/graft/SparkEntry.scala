@@ -91,7 +91,11 @@ object SparkEntry {
     * which must expose (doc_id, text). Defines `qual(doc_id, quality)`
     * and `lang(doc_id, lang_pred)` — consumed by ta_scores, ta_langid,
     * ta_quality_gate, and the x_corpus gate stage, so the replica cannot
-    * drift between them. ASCII corpus => [A-Za-z] = Character.isLetter.
+    * drift between them. The alpha count uses RE2's Unicode letter class
+    * \p{L} (= Character.isLetter for BMP text), NOT [A-Za-z]: the
+    * composed-pipeline conv docs contain non-ASCII letters, which the
+    * ASCII class silently undercounted (x_corpus round-5 finding; the
+    * documents table is ASCII so ta_* were equal either way).
     */
   private def scoreCtesSql(src: String): String =
     s"""f AS (SELECT doc_id, text,
@@ -102,7 +106,7 @@ object SparkEntry {
        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
        |  round_even((
        |    0.3 * least(1.0, length(text) / 200.0)
-       |  + 0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
+       |  + 0.4 * (CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) / length(text))
        |  + 0.3 * (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0
        |                WHEN mwl < 3 THEN mwl / 3.0 ELSE 10.0 / mwl END)
        |  ) * 1e6, 0) / 1e6 END AS quality
@@ -246,6 +250,32 @@ object SparkEntry {
       graft.io.TableIO.partitionStats(s, out, 8)
         .select(col("bucket"), col("rows"), col("convs"))
         .orderBy(col("bucket"))
+    }),
+
+    // ---- the END-TO-END composed pipeline (extract -> convDocs -> exact
+    //      dedup -> minhash candidates -> verify -> clusters -> survivors
+    //      -> quality/lang gate) as ONE driver query. Two dumps anchor
+    //      the oracle: the docs table (the pipeline's own hub
+    //      materialization) and the candidate pairs; DuckDB then
+    //      recomputes the ENTIRE tail independently — exact dedup,
+    //      jaccard verify, recursive-CTE closure, survivor anti-join,
+    //      and the quality/lang gate (the dd_clusters pattern extended
+    //      to the full production composition) ------------------------
+    "x_corpus" -> ((s, dir) => {
+      val docsDf = s.read.parquet(Dumps.ensure(Dumps.corpusDocs(dir))(
+        graft.pipeline.CorpusPipeline.corpusDocs(transcripts(s, 256, 64))))
+      val exact = graft.pipeline.CorpusPipeline.exactSurvivors(docsDf)
+      val cands = s.read.parquet(Dumps.ensure(Dumps.corpusCands(dir))(
+        graft.ops.DedupOps.minhashCandidates(exact, minJaccard = 0.5)))
+      val pairs = graft.ops.DedupOps.verifyJaccard(cands, exact,
+        minJaccard = 0.5).select(col("id_a"), col("id_b"))
+      val survivors = graft.ops.DedupOps.dedupSurvivors(exact,
+        graft.ops.DedupOps.clusterLabels(pairs))
+      graft.ops.TextOps.qualityFilter(survivors, minQuality = 0.8,
+          langs = Seq("en"))
+        .select(col("doc_id"), col("conv_id"), col("n_turns"), col("text"),
+          col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- dedup (training-data pipeline) ---------------------------------
@@ -731,6 +761,50 @@ object SparkEntry {
            |FROM read_parquet('${Dumps.ckpt(o)}/bucket=*/*.parquet',
            |                  hive_partitioning=1)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the full composed-pipeline tail recomputed independently over the
+      // two dumps: exact dedup (min-id per md5), exact shingle-jaccard
+      // verify of the dumped candidates, recursive-CTE transitive
+      // closure -> non-survivors, anti-join, then the shared quality/
+      // langid replica as the gate — every downstream column checked
+      "x_corpus" -> {
+        val jaccardCase =
+          """CASE WHEN la = 0 AND lb = 0 THEN 1.0
+            |             WHEN la = 0 OR lb = 0 THEN 0.0
+            |             ELSE CAST(i AS DOUBLE) / (la + lb - i) END""".stripMargin
+        s"""WITH RECURSIVE
+           |d AS (SELECT * FROM read_parquet('${Dumps.corpusDocs(o)}/*.parquet')),
+           |keepers AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)),
+           |e AS (SELECT d.* FROM d JOIN keepers USING (doc_id)),
+           |c AS (SELECT id_a, id_b
+           |      FROM read_parquet('${Dumps.corpusCands(o)}/*.parquet')),
+           |shing AS (SELECT doc_id, $shinglesSql AS sh FROM e),
+           |p AS (SELECT id_a, id_b,
+           |        len(list_intersect(a.sh, b.sh)) AS i,
+           |        len(a.sh) AS la, len(b.sh) AS lb
+           |      FROM c JOIN shing a ON a.doc_id = c.id_a
+           |             JOIN shing b ON b.doc_id = c.id_b),
+           |v AS (SELECT id_a, id_b FROM p
+           |      WHERE ($jaccardCase) >= 0.5),
+           |sym AS (SELECT id_a AS a, id_b AS b FROM v
+           |        UNION SELECT id_b, id_a FROM v),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+           |  WHERE s.b <> r.a),
+           |nonsurv AS (
+           |  SELECT r.a AS doc_id FROM reach r
+           |  GROUP BY r.a HAVING min(r.b) < r.a),
+           |surv AS (SELECT e.* FROM e
+           |         WHERE doc_id NOT IN (SELECT doc_id FROM nonsurv)),
+           |${scoreCtesSql("surv")}
+           |SELECT surv.doc_id, conv_id, n_turns, text, quality, lang_pred
+           |FROM surv JOIN qual ON surv.doc_id = qual.doc_id
+           |          JOIN lang ON surv.doc_id = lang.doc_id
+           |WHERE quality >= 0.8 AND lang_pred IN ('en')
+           |ORDER BY surv.doc_id""".stripMargin
+      },
 
       // ---- dedup family -------------------------------------------------
       "dd_exact" ->

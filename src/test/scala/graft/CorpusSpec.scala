@@ -1,0 +1,105 @@
+package graft
+
+import graft.ops.{DedupOps, TextOps}
+import graft.pipeline.CorpusPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end composed pipeline (round-5 ask 1): extract -> convDocs ->
+  * exact dedup -> near-dup candidates -> verify -> clusters -> survivors
+  * -> quality/lang gate, as ONE composition — cross-family invariants
+  * and the no-re-extraction plan audit.
+  */
+class CorpusSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private val minJ = 0.45
+  private val minQ = 0.8
+  private lazy val turns = SparkEntry.transcripts(spark, 128, 32)
+  private lazy val docs = CorpusPipeline.corpusDocs(turns)
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private lazy val out = CorpusPipeline.corpus(docs, minJ, minQ, Seq("en"))
+
+  test("composed corpus == step-by-step composition, and the tail is non-vacuous") {
+    val exact = CorpusPipeline.exactSurvivors(docs)
+    val pairs = DedupOps.minhashNearDups(exact, minJ)
+      .select(col("id_a"), col("id_b"))
+    assert(pairs.count() > 0, "fixture has no near-dup pairs — tail vacuous")
+    val manual = TextOps.qualityFilter(
+      DedupOps.dedupSurvivors(exact, DedupOps.clusterLabels(pairs)),
+      minQ, Seq("en"))
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("doc_id", "text", "quality", "lang_pred").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getString(3))).toSet
+    assert(key(out) == key(manual))
+    assert(out.count() > 0)
+  }
+
+  test("cross-family invariants hold on the composed output") {
+    val rows = out.collect()
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    // 1. exact dedup held: no two output docs share a text
+    val texts = rows.map(_.getAs[String]("text"))
+    assert(texts.length == texts.distinct.length)
+    // 2. near-dup resolution held: no VERIFIED pair survives whole
+    val survivedPairs = DedupOps.minhashNearDups(
+        CorpusPipeline.exactSurvivors(docs), minJ)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => ids.contains(a) && ids.contains(b) }
+    assert(survivedPairs.isEmpty,
+      s"near-dup pairs fully present in output: ${survivedPairs.take(5).toSeq}")
+    // 3. gate held: every kept row passes both thresholds
+    rows.foreach { r =>
+      assert(r.getAs[Double]("quality") >= minQ)
+      assert(r.getAs[String]("lang_pred") == "en")
+    }
+    // 4. accounting: kept + gate-rejected + dedup losses == corpus size
+    val exact = CorpusPipeline.exactSurvivors(docs)
+    val nExact = exact.count()
+    val nDocs = docs.count()
+    val clusters = DedupOps.clusterLabels(
+      DedupOps.minhashNearDups(exact, minJ).select(col("id_a"), col("id_b")))
+    val nNearLoss = clusters.filter(col("doc_id") =!= col("cluster_id")).count()
+    val nRejected = TextOps.qualityRejected(
+      DedupOps.dedupSurvivors(exact, clusters), minQ, Seq("en")).count()
+    assert(nDocs == nExact + (nDocs - nExact)) // exact losses
+    assert(rows.length + nRejected + nNearLoss == nExact,
+      s"${rows.length} kept + $nRejected rejected + $nNearLoss near-dup " +
+        s"losses != $nExact exact survivors")
+  }
+
+  test("plan audit: the tail never re-extracts — extraction ran once into the hub") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    out.collect()
+    // walk the EXECUTED tail, stopping at cache boundaries: everything
+    // below an InMemoryTableScan ran exactly once into the hub (plan
+    // STRINGS re-render the cached build under every consumer, which is
+    // why this walks the tree instead of grepping the string)
+    var cacheScans = 0
+    def tailExprs(p: SparkPlan): Seq[String] = p match {
+      case _: InMemoryTableScanExec => cacheScans += 1; Nil
+      case a: AdaptiveSparkPlanExec => tailExprs(a.executedPlan)
+      case q: QueryStageExec => tailExprs(q.plan)
+      case other => other.expressions.map(_.toString) ++
+        other.children.flatMap(tailExprs)
+    }
+    val exprs = tailExprs(out.queryExecution.executedPlan)
+    val reExtract = exprs.filter(_.contains("extract_turn"))
+    assert(reExtract.isEmpty,
+      s"a tail stage re-runs extraction: ${reExtract.take(3)}")
+    assert(cacheScans > 0, "tail must read the materialized docs hub")
+  }
+
+  test("doc_id derivation matches the conv id suffix and is unique") {
+    val m = docs.select(col("doc_id"), col("conv_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(m.map(_._1).distinct.length == m.length)
+    m.foreach { case (id, conv) =>
+      assert(conv == f"conv-$id%06d")
+    }
+  }
+}
