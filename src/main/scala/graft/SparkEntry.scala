@@ -319,6 +319,25 @@ object SparkEntry {
         .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
         .orderBy(col("doc_id"))
     }),
+    // INCREMENTAL dedup — the operational daily job: the corpus-so-far
+    // is indexed ONCE (persisted band/sig tables, fingerprint-gated
+    // reuse like IVF), then a new batch joins its bands against the
+    // index — the existing corpus is never re-hashed. Pairs carry at
+    // least one new-batch doc; the oracle recomputes exact jaccard over
+    // the dumped incremental candidate set (dd_minhash shape)
+    "dd_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val existing = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val (idxBands, idxSigs) = graft.ops.DedupOps.ensureMinhashIndex(
+        s, existing, Dumps.mhIndex(dir))
+      val cands = s.read.parquet(Dumps.ensure(Dumps.mhIncCands(dir))(
+        graft.ops.DedupOps.incrementalMinhashCandidates(batch,
+          idxBands, idxSigs, minJaccard = 0.6)))
+      graft.ops.DedupOps.verifyJaccard(cands, d, minJaccard = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // quadratic baseline: subset capped so cost stays bounded at any sf
     // (the exact all-pairs path is a validation tool, not a scale path)
     "dd_jaccard_exact" -> ((s, dir) =>
@@ -814,6 +833,22 @@ object SparkEntry {
       "dd_minhash" ->
         s"""WITH c AS (SELECT id_a, id_b
            |           FROM read_parquet('${Dumps.mhCands(o)}/*.parquet')),
+           |d AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+           |p AS (SELECT id_a, id_b,
+           |        len(list_intersect(a.sh, b.sh)) AS i,
+           |        len(a.sh) AS la, len(b.sh) AS lb
+           |      FROM c JOIN d a ON a.doc_id = c.id_a
+           |             JOIN d b ON b.doc_id = c.id_b),
+           |v AS (SELECT id_a, id_b,
+           |        CASE WHEN la = 0 AND lb = 0 THEN 1.0
+           |             WHEN la = 0 OR lb = 0 THEN 0.0
+           |             ELSE CAST(i AS DOUBLE) / (la + lb - i) END AS jaccard
+           |      FROM p)
+           |SELECT id_a, id_b, jaccard FROM v
+           |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+      "dd_incremental" ->
+        s"""WITH c AS (SELECT id_a, id_b
+           |           FROM read_parquet('${Dumps.mhIncCands(o)}/*.parquet')),
            |d AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
            |p AS (SELECT id_a, id_b,
            |        len(list_intersect(a.sh, b.sh)) AS i,

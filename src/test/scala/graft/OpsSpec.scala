@@ -191,6 +191,53 @@ class OpsSpec extends AnyFunSuite {
       .collect().length == 15)
   }
 
+  test("incremental dedup: append(batch) against the index == full recompute") {
+    // the round-5 operational-append contract: index batch1 once, then
+    // the new batch's candidates joined against it must tile EXACTLY
+    // with the index-internal pairs to reproduce a full recompute
+    val all = docs
+    val batch1 = all.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch2 = all.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_mh_idx_test").toString + "/index"
+    val (bands, sigs) = DedupOps.ensureMinhashIndex(spark, batch1, idxPath)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairSet(DedupOps.minhashCandidates(all, minJaccard = 0.6))
+    val old = pairSet(DedupOps.minhashCandidates(batch1, minJaccard = 0.6))
+    val inc = pairSet(DedupOps.incrementalMinhashCandidates(batch2,
+      bands, sigs, minJaccard = 0.6))
+    assert(inc.nonEmpty, "fixture has no cross-batch candidates")
+    assert(inc.forall { case (a, b) => a % 3 == 0 || b % 3 == 0 },
+      "incremental pairs must involve a new-batch doc")
+    assert((old ++ inc) == full,
+      s"full ${full.size} != old ${old.size} + inc ${inc.size} " +
+        s"(missing: ${(full -- old -- inc).take(5)}, " +
+        s"extra: ${((old ++ inc) -- full).take(5)})")
+  }
+
+  test("incremental dedup: stale index is rebuilt when the corpus changes") {
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_mh_meta_test").toString + "/index"
+    val half = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    DedupOps.ensureMinhashIndex(spark, half, idxPath)
+    val metaBefore = graft.io.FsUtil.readString(s"$idxPath/_graft_mh_meta")
+    // same path, different corpus -> fingerprint mismatch -> rebuild
+    val (bands, _) = DedupOps.ensureMinhashIndex(spark, docs, idxPath)
+    val metaAfter = graft.io.FsUtil.readString(s"$idxPath/_graft_mh_meta")
+    assert(metaBefore.isDefined && metaAfter.isDefined &&
+      metaBefore.get != metaAfter.get,
+      "fingerprint must change when the indexed corpus changes")
+    // the rebuilt band table covers the full corpus
+    val eligible = docs.filter(length(col("text")) >= 5).count()
+    assert(bands.select(col("doc_id")).distinct().count() == eligible)
+    // and an unchanged corpus REUSES (meta byte-identical)
+    DedupOps.ensureMinhashIndex(spark, docs, idxPath)
+    assert(graft.io.FsUtil.readString(s"$idxPath/_graft_mh_meta")
+      == metaAfter)
+  }
+
   test("cluster labels: known graph resolves to min-id components") {
     import spark.implicits._
     // components: {1,2,3} (chain), {5,6}, {8,9,10} (star at 9)
