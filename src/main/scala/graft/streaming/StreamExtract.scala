@@ -277,6 +277,32 @@ object StreamExtract {
           }))
   }
 
+  /** Streaming<->batch RECONCILIATION (the operational pairing of the two
+    * dedup modes): fold streamed vs-anchor pairs and a periodic batch
+    * complete-pairs run into ONE cluster state. Both sources emit
+    * verified same-family pairs and clustering consumes CONNECTIVITY, so
+    * the union's connected components are the reconciled clusters —
+    * min-id canonical survivor per component, exactly the batch
+    * contract.
+    *
+    * Division of labor this encodes: within a bucket the streamed
+    * vs-anchor star preserves the batch clique's connectivity whenever
+    * members verify against the anchor; pairs the stream cannot see
+    * (two non-anchor docs that verify against each other but not the
+    * anchor, or docs split across expired state horizons) are exactly
+    * what the periodic batch run contributes. StreamingSpec pins
+    * stream-then-reconcile == pure-batch clusters on a seeded appended
+    * corpus. Ids-only shuffles throughout (clusterLabels over the pair
+    * list, not the corpus).
+    */
+  def reconcileClusters(batchPairs: DataFrame,
+      streamedPairs: DataFrame): DataFrame =
+    graft.ops.DedupOps.clusterLabels(
+      batchPairs.select(col("id_a"), col("id_b"))
+        .unionByName(streamedPairs.select(col("id_a"), col("id_b")))
+        .filter(col("id_a") =!= col("id_b"))
+        .distinct())
+
   // --- custom state: streaming conversation-session assembly ------------
 
   final case class TurnEvent(conv_id: String, turn_idx: Int,

@@ -394,6 +394,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-then-reconcile clusters == pure-batch clusters on an appended corpus") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = TranscriptGen.BaseEpochMs
+    // seeded appended corpus: batch1 = the corpus at the periodic batch
+    // run; batch2 = the appended segment seen only by the stream.
+    // group A spans the append boundary (new-old pairs), group B exists
+    // only in the append (new-new pairs), group C is batch1-internal,
+    // plus singletons — identical texts per group so every member
+    // verifies against its bucket anchor (the star-connectivity regime;
+    // pairs outside it are the periodic batch run's documented job)
+    val gA = "group alpha payload repeated verbatim across the append boundary"
+    val gB = "group beta payload that exists only inside the appended batch"
+    val gC = "group gamma payload fully contained in the original corpus run"
+    val s1 = "singleton text one about catalyst partition pruning internals"
+    val s2 = "singleton text two about manifest lineage and resume protocol"
+    val batch1 = Seq((1L, gA), (4L, gC), (5L, gC), (7L, s1))
+    val batch2 = Seq((2L, gA), (3L, gB), (6L, gB), (8L, s2))
+    val dir = Files.createTempDirectory("graft_stream_reconcile").toString
+    def append(rows: Seq[(Long, String)], t0: Long): Unit =
+      rows.zipWithIndex.map { case ((id, txt), k) =>
+        (id, txt, new java.sql.Timestamp(t0 + k * 1000L)) }
+        .toDF("doc_id", "text", "ts")
+        .write.mode("append").parquet(dir)
+    append(batch1, base)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val q = StreamExtract.streamDedupSimhash(spark,
+        spark.readStream.schema(docSchema).parquet(dir),
+        maxHamming = 3, horizonMs = 3600L * 1000)
+      .toDF()
+      .writeStream.format("memory").queryName("stream_reconcile")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      append(batch2, base + 60000L) // the appended segment, in-horizon
+      q.processAllAvailable()
+      val streamedPairs = spark.sql(
+        "SELECT DISTINCT id_a, id_b FROM stream_reconcile")
+      // the periodic batch complete-pairs run covers batch1 only
+      val batchPairs = graft.ops.DedupOps.simhashNearDups(
+        batch1.toDF("doc_id", "text"), maxHamming = 3)
+      val reconciled = StreamExtract.reconcileClusters(
+          batchPairs, streamedPairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val pureBatch = graft.ops.DedupOps.clusterLabels(
+          graft.ops.DedupOps.simhashNearDups(
+            (batch1 ++ batch2).toDF("doc_id", "text"), maxHamming = 3)
+            .select(col("id_a"), col("id_b")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(pureBatch == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 6L -> 3L,
+        4L -> 4L, 5L -> 4L), s"fixture drifted: $pureBatch")
+      assert(reconciled == pureBatch,
+        s"reconciled $reconciled != pure batch $pureBatch")
+      // and the survivor sets agree (the downstream consumer)
+      val allDocs = (batch1 ++ batch2).toDF("doc_id", "text")
+      val sSurv = graft.ops.DedupOps.dedupSurvivors(allDocs,
+          StreamExtract.reconcileClusters(batchPairs, streamedPairs))
+        .collect().map(_.getLong(0)).toSet
+      assert(sSurv == Set(1L, 3L, 4L, 7L, 8L))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation produces per-kind counts") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream_agg").toString
