@@ -404,6 +404,10 @@ object SparkEntry {
       Dumps.ensure(Dumps.fp(dir))(out)
       out
     }),
+    // repetition signals (the other Gopher filter half): duplicate-line
+    // fraction + top word-bigram share, full SQL replica
+    "ta_repetition" -> ((s, dir) =>
+      graft.ops.TextOps.repetitionReport(docs(s, dir))),
     // per-document top-3 TF-IDF keywords: corpus-statistic scoring with
     // no cross-term float summation anywhere (per-pair rows; rint 1e-6
     // parity recipe), so the whole operator is a full SQL replica
@@ -1022,6 +1026,31 @@ object SparkEntry {
            |  ON s.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin,
 
+      "ta_repetition" ->
+        """WITH base AS (SELECT doc_id,
+          |    list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines,
+          |    list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS words
+          |  FROM documents),
+          |la AS (SELECT doc_id,
+          |    CAST(len(lines) AS BIGINT) AS n_lines,
+          |    CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines,
+          |    CASE WHEN len(lines) = 0 THEN 0.0
+          |         ELSE round_even((1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)) * 1e6, 0) / 1e6
+          |    END AS dup_line_ratio
+          |  FROM base),
+          |bg AS (SELECT doc_id,
+          |    unnest(list_transform(range(1, len(words)),
+          |      i -> words[CAST(i AS INT)] || ' ' || words[CAST(i + 1 AS INT)])) AS bigram
+          |  FROM base WHERE len(words) >= 2),
+          |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg
+          |        GROUP BY doc_id, bigram),
+          |top AS (SELECT doc_id,
+          |    round_even(CAST(max(c) AS DOUBLE) / sum(c) * 1e6, 0) / 1e6 AS top_bigram_frac
+          |  FROM cnt GROUP BY doc_id)
+          |SELECT la.doc_id, n_lines, n_distinct_lines, dup_line_ratio,
+          |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+          |FROM la LEFT JOIN top ON la.doc_id = top.doc_id
+          |ORDER BY la.doc_id""".stripMargin,
       "ta_keywords" ->
         """WITH toks AS (
           |  SELECT doc_id,

@@ -126,6 +126,52 @@ object TextOps {
     qualityGate(docs, minQuality, langs)
       .filter(col("reject_reason").isNotNull)
 
+  /** Repetition signals — the other half of the Gopher filter family
+    * (qualityGate covers length/alpha/word-shape): per document,
+    * duplicate-LINE fraction and the most-frequent word-BIGRAM's share
+    * of all bigrams. Boilerplate-heavy or degenerate-loop documents
+    * score high on one or both. Float discipline: every double is one
+    * rounded computation (rint 1e-6, the pinned oracle parity recipe).
+    *
+    * Scale shape: the line features are narrow per-row array ops; the
+    * bigram mode needs ONE shuffle on (doc_id, bigram) + a per-doc agg
+    * (a mode cannot be computed without grouping); rows stay
+    * (doc_id, bigram, count) — no text shuffles.
+    */
+  def repetitionReport(docs: DataFrame): DataFrame = {
+    val lines = filter(split(col("text"), "\n"), l => length(trim(l)) > 0)
+    val words = filter(split(lower(col("text")), "\\s+"), w => length(w) > 0)
+    val base = docs.select(col("doc_id"), lines.as("lines"),
+      words.as("words"))
+    val lineAgg = base.select(
+      col("doc_id"),
+      size(col("lines")).cast("long").as("n_lines"),
+      size(array_distinct(col("lines"))).cast("long")
+        .as("n_distinct_lines"),
+      when(size(col("lines")) === 0, lit(0.0)).otherwise(
+        rint((lit(1.0) -
+            size(array_distinct(col("lines"))).cast("double") /
+            size(col("lines"))) * 1e6) / 1e6)
+        .as("dup_line_ratio"))
+    // guard < 2 words: sequence(1, size-1) would run DESCENDING through
+    // 0 and negative indices (Spark sequences reverse when start > stop)
+    val bigrams = base.select(col("doc_id"),
+      explode(when(size(col("words")) >= 2,
+        transform(sequence(lit(1), size(col("words")) - 1),
+          i => concat_ws(" ", element_at(col("words"), i),
+            element_at(col("words"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+    val top = bigrams.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((rint(max(col("c")).cast("double") / sum(col("c")) * 1e6) / 1e6)
+        .as("top_bigram_frac"))
+    lineAgg.join(top, Seq("doc_id"), "left")
+      .withColumn("top_bigram_frac",
+        coalesce(col("top_bigram_frac"), lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text
     * (SQL-expressible on both engines), plus the 64-bit simhash
     * fingerprint from the custom expression.

@@ -610,6 +610,30 @@ class OpsSpec extends AnyFunSuite {
     assert(out == brute)
   }
 
+  test("repetition report: dup-line ratio and top-bigram fraction on known fixtures") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "alpha beta\nalpha beta\ngamma delta"),   // 1 dup line of 3
+      (2L, "go go go go"),                            // 'go go' bigram x3/3
+      (3L, "all lines unique\nsecond line here"),
+      (4L, "word"),                                   // no bigrams
+      (5L, ""))                                       // empty
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionReport(fixture).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_lines") == 3)
+    assert(out(1L).getAs[Long]("n_distinct_lines") == 2)
+    assert(math.abs(out(1L).getAs[Double]("dup_line_ratio") - 0.333333) < 1e-6)
+    // doc 2: every bigram is 'go go' -> fraction 1.0
+    assert(out(2L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(out(3L).getAs[Double]("dup_line_ratio") == 0.0)
+    // <2 words and empty text degrade to zero, not crash
+    assert(out(4L).getAs[Double]("top_bigram_frac") == 0.0)
+    assert(out(5L).getAs[Long]("n_lines") == 0L)
+    assert(out(5L).getAs[Double]("dup_line_ratio") == 0.0)
+    assert(out(5L).getAs[Double]("top_bigram_frac") == 0.0)
+  }
+
   test("quality gate: pinned reason codes, kept+rejected partition the corpus") {
     import spark.implicits._
     val fixture = Seq(
