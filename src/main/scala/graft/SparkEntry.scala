@@ -408,6 +408,22 @@ object SparkEntry {
     // fraction + top word-bigram share, full SQL replica
     "ta_repetition" -> ((s, dir) =>
       graft.ops.TextOps.repetitionReport(docs(s, dir))),
+    // PII redaction (emails + bare URLs -> pinned placeholders, counted):
+    // the corpus is PII-free by construction, so the query SEEDS
+    // deterministic doc_id-derived emails/URLs into 2/7 of the rows —
+    // the oracle seeds identically and replays the same two-stage
+    // redaction (URL first, then email; RE2-safe patterns only)
+    "ta_redact" -> ((s, dir) => {
+      val seeded = docs(s, dir).withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+          .when(pmod(col("doc_id"), lit(7)) === 3,
+            concat(col("text"), lit(" see https://example.org/doc/"),
+              col("doc_id").cast("string"), lit("?ref=a b")))
+          .otherwise(col("text")))
+      graft.ops.TextOps.redactPii(seeded)
+    }),
     // per-document top-3 TF-IDF keywords: corpus-statistic scoring with
     // no cross-term float summation anywhere (per-pair rows; rint 1e-6
     // parity recipe), so the whole operator is a full SQL replica
@@ -1051,6 +1067,21 @@ object SparkEntry {
           |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
           |FROM la LEFT JOIN top ON la.doc_id = top.doc_id
           |ORDER BY la.doc_id""".stripMargin,
+      "ta_redact" ->
+        """WITH seeded AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0
+          |           THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+          |         WHEN doc_id % 7 = 3
+          |           THEN text || ' see https://example.org/doc/' || CAST(doc_id AS VARCHAR) || '?ref=a b'
+          |         ELSE text END AS text
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%~#?&=+-]+', 0)) AS BIGINT) AS n_urls,
+          |  regexp_replace(
+          |    regexp_replace(text, 'https?://[A-Za-z0-9./_%~#?&=+-]+', '<URL>', 'g'),
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS redacted
+          |FROM seeded ORDER BY doc_id""".stripMargin,
       "ta_keywords" ->
         """WITH toks AS (
           |  SELECT doc_id,

@@ -172,6 +172,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PII scrubbing — the redaction pass every training-data pipeline
+    * runs before release: emails and bare URLs replaced with pinned
+    * placeholder tokens, per-document match counts kept as the audit
+    * side-channel. Patterns use only character classes + bounded
+    * quantifiers so Java regex (Spark) and RE2 (the DuckDB oracle)
+    * agree exactly — no lookaround, no backrefs (RE2 has neither).
+    * Narrow per-row projection, no shuffle.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[A-Za-z0-9./_%~#?&=+-]+"
+
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlRe), lit(0)))
+        .cast("long").as("n_urls"),
+      regexp_replace(regexp_replace(col("text"), UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>").as("redacted"))
+      .orderBy(col("doc_id"))
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text
     * (SQL-expressible on both engines), plus the 64-bit simhash
     * fingerprint from the custom expression.

@@ -634,6 +634,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L).getAs[Double]("top_bigram_frac") == 0.0)
   }
 
+  test("pii redaction: emails and urls replaced with placeholders, counted") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "mail me at jane.doe+x@example.com or visit https://example.org/a?b=1 thanks"),
+      (2L, "two mails a@b.co and c_d%e@f-g.org here"),
+      (3L, "no pii in this one at all"),
+      (4L, "url with trailing text http://example.org/path#frag end"))
+      .toDF("doc_id", "text")
+    val out = TextOps.redactPii(fixture).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1 &&
+      out(1L).getAs[Long]("n_urls") == 1)
+    assert(out(1L).getAs[String]("redacted") ==
+      "mail me at <EMAIL> or visit <URL> thanks")
+    assert(out(2L).getAs[Long]("n_emails") == 2)
+    assert(out(2L).getAs[String]("redacted") ==
+      "two mails <EMAIL> and <EMAIL> here")
+    assert(out(3L).getAs[Long]("n_emails") == 0 &&
+      out(3L).getAs[Long]("n_urls") == 0)
+    assert(out(3L).getAs[String]("redacted") == "no pii in this one at all")
+    assert(out(4L).getAs[String]("redacted") == "url with trailing text <URL> end")
+  }
+
   test("quality gate: pinned reason codes, kept+rejected partition the corpus") {
     import spark.implicits._
     val fixture = Seq(
