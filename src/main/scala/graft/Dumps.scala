@@ -25,8 +25,8 @@ object Dumps {
   private[graft] val Families: Seq[String] = Seq(
     "turns_v", "fingerprints", "blocks", "mh_cands", "mh_pairs",
     "sh_cands", "sh_cands_ext", "em_cands", "ckpt", "ivf_index",
-    "docs_jsonl", "docs_tsv", "corpus_docs", "corpus_cands", "mh_index",
-    "mh_inc_cands")
+    "ivf_index_app", "docs_jsonl", "docs_tsv", "corpus_docs",
+    "corpus_cands", "mh_index", "mh_inc_cands")
 
   /** Version DERIVED from the kernel parameterization + hashing constants
     * + dump family list (round-4 judge item: a hand-bumped string rots
@@ -69,6 +69,8 @@ object Dumps {
   def emCands(sfDir: String): String = s"${root(sfDir)}/em_cands"
   def ckpt(sfDir: String): String = s"${root(sfDir)}/ckpt"
   def ivfIndex(sfDir: String): String = s"${root(sfDir)}/ivf_index"
+  /** Self-describing appendable IVF index (ann_ivf_append). */
+  def ivfIndexApp(sfDir: String): String = s"${root(sfDir)}/ivf_index_app"
   def jsonl(sfDir: String): String = s"${root(sfDir)}/docs_jsonl"
   def tsv(sfDir: String): String = s"${root(sfDir)}/docs_tsv"
   /** The composed end-to-end pipeline's conv-doc table (x_corpus). */

@@ -375,6 +375,28 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the APPEND path of the similarity family (dd_incremental's mirror):
+    // the index is built on 80% of the corpus with PINNED centroids
+    // stored in the artifact, the remaining 20% batch is APPENDED
+    // (assigned map-side against the pinned centroids, digest merged —
+    // the existing corpus never rescanned), then probed with no corpus
+    // argument at all. The oracle replays the IVF with the centroid
+    // sample drawn from the EXISTING subset only
+    "ann_ivf_append" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val path = Dumps.ivfIndexApp(dir)
+      if (!graft.ops.SimilarityOps.ivfIndexedMatches(path, e)) {
+        graft.ops.SimilarityOps.buildIvfIndexed(s,
+          e.filter(pmod(col("vec_id"), lit(5)) =!= 0), path, nCentroids = 32)
+        graft.ops.SimilarityOps.ivfAppendIndexed(s, path,
+          e.filter(pmod(col("vec_id"), lit(5)) === 0))
+      }
+      graft.ops.SimilarityOps.ivfProbeIndexed(s, path,
+          e.filter(pmod(col("vec_id"), lit(101)) === 0), k = 5, nProbe = 8)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "ta_tokens" -> ((s, dir) => graft.ops.TextOps.tokenCounts(docs(s, dir))),
     "ta_quality" -> ((s, dir) =>
@@ -966,6 +988,45 @@ object SparkEntry {
            |           FROM embeddings),
            |cents AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cn
            |          FROM e
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+           |asg AS (SELECT e.vec_id, e.embedding, e.nrm, cid,
+           |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |            (CASE WHEN e.nrm = 0 OR cn = 0 THEN 0.0
+           |                  ELSE ${dotSql("e.embedding", "cemb")} / sqrt(e.nrm * cn)
+           |             END) DESC, cid) AS r
+           |        FROM e CROSS JOIN cents),
+           |a2 AS (SELECT vec_id, embedding, nrm, cid AS centroid_id
+           |       FROM asg WHERE r = 1),
+           |q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS qn
+           |      FROM e WHERE vec_id % 101 = 0),
+           |probes AS (SELECT query_id, q_emb, qn, cid,
+           |             row_number() OVER (PARTITION BY query_id ORDER BY
+           |               (CASE WHEN qn = 0 OR cn = 0 THEN 0.0
+           |                     ELSE ${dotSql("q_emb", "cemb")} / sqrt(qn * cn)
+           |                END) DESC, cid) AS pr
+           |           FROM q CROSS JOIN cents),
+           |p2 AS (SELECT query_id, q_emb, qn, cid FROM probes WHERE pr <= 8),
+           |scored AS (SELECT query_id, a.vec_id,
+           |             CASE WHEN a.nrm = 0 OR qn = 0 THEN 0.0
+           |                  ELSE ${dotSql("a.embedding", "q_emb")} / sqrt(a.nrm * qn)
+           |             END AS cos
+           |           FROM p2 JOIN a2 a ON a.centroid_id = p2.cid
+           |           WHERE a.vec_id <> query_id),
+           |r AS (SELECT query_id, vec_id, cos,
+           |        row_number() OVER (PARTITION BY query_id
+           |                           ORDER BY cos DESC, vec_id) AS "rank"
+           |      FROM scored)
+           |SELECT query_id, "rank", vec_id, cos FROM r
+           |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+      // ann_ivf's replica with the centroid sample drawn from the
+      // EXISTING (vec_id % 5 <> 0) subset — the pinned-centroid append
+      // contract; assignment and probing run over the full union
+      "ann_ivf_append" ->
+        s"""WITH e AS (SELECT vec_id, embedding, $sqNormSql AS nrm
+           |           FROM embeddings),
+           |cents AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cn
+           |          FROM e WHERE vec_id % 5 <> 0
            |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
            |asg AS (SELECT e.vec_id, e.embedding, e.nrm, cid,
            |          row_number() OVER (PARTITION BY e.vec_id ORDER BY

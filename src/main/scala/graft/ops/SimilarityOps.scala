@@ -272,6 +272,101 @@ object SimilarityOps {
 
   private def metaPath(indexPath: String) = s"$indexPath/_graft_ivf_meta"
 
+  // --- self-describing (appendable) IVF index artifact -----------------
+  //
+  // ivfTopK above derives centroids from the corpus argument on every
+  // call — right for the build-and-probe flow, wrong for the
+  // operational APPEND job (new vectors arriving daily must join the
+  // EXISTING cells; re-deriving centroids over the union would silently
+  // shift the sample and force a rebuild). The indexed flavor pins the
+  // centroid payload INSIDE the artifact (cents/ parquet) next to the
+  // data (data/, partitionBy(centroid_id)) and a combinable corpus
+  // digest (count:xor:sum — each component merges associatively, so an
+  // append updates the digest WITHOUT rescanning the existing corpus).
+  // Probing needs no corpus argument at all: the index is the corpus.
+  // Centroids stay pinned across appends — the standard IVF contract
+  // (recall drifts as the appended distribution drifts from the
+  // original sample; rebuild to re-center).
+
+  private def idxMetaPath(p: String) = s"$p/_graft_ivf_idx_meta"
+
+  /** Raw combinable digest components of a corpus. */
+  private def rawDigest(corpus: DataFrame): (Long, Long, BigInt) = {
+    val r = corpus.agg(count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)),
+      coalesce(sum(xxhash64(col("vec_id"), col("embedding"))
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))).head()
+    (r.getLong(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger))
+  }
+  private def digestString(d: (Long, Long, BigInt)) =
+    s"${d._1}:${d._2}:${d._3}"
+  private def combineDigest(a: (Long, Long, BigInt),
+      b: (Long, Long, BigInt)): (Long, Long, BigInt) =
+    (a._1 + b._1, a._2 ^ b._2, a._3 + b._3)
+  private def parseDigest(s: String): (Long, Long, BigInt) = {
+    val Array(c, x, m) = s.split(":")
+    (c.toLong, x.toLong, BigInt(m))
+  }
+
+  /** Build the self-describing index: pinned centroid payload + assigned
+    * data + combinable digest.
+    */
+  def buildIvfIndexed(spark: SparkSession, corpus: DataFrame,
+      indexPath: String, nCentroids: Int): Unit = {
+    val cents = centroids(corpus, nCentroids)
+    import spark.implicits._
+    cents.toSeq.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/cents")
+    buildIvfIndexBc(corpus, broadcastCentroids(spark, cents),
+      s"$indexPath/data")
+    graft.io.FsUtil.writeString(idxMetaPath(indexPath),
+      digestString(rawDigest(corpus)))
+  }
+
+  private def loadCents(spark: SparkSession,
+      indexPath: String): Array[(Long, Array[Float])] =
+    spark.read.parquet(s"$indexPath/cents")
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** Append a new vector batch: assign map-side against the PINNED
+    * centroids, append into the partitioned data dir, merge the digest —
+    * the existing corpus is never rescanned (the dd_incremental pattern
+    * for the similarity family).
+    */
+  def ivfAppendIndexed(spark: SparkSession, indexPath: String,
+      newVecs: DataFrame): Unit = {
+    val bc = broadcastCentroids(spark, loadCents(spark, indexPath))
+    newVecs.select(col("vec_id"), col("embedding"))
+      .withColumn("centroid_id", nearestCentroid(col("embedding"), bc))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$indexPath/data")
+    val old = parseDigest(
+      graft.io.FsUtil.readString(idxMetaPath(indexPath)).getOrElse(
+        throw new IllegalStateException(
+          s"no index meta at $indexPath — build before appending")))
+    graft.io.FsUtil.writeString(idxMetaPath(indexPath),
+      digestString(combineDigest(old, rawDigest(newVecs))))
+  }
+
+  /** True iff the index digest matches `corpus` — the freshness check a
+    * caller runs before trusting probes against a corpus it holds.
+    */
+  def ivfIndexedMatches(indexPath: String, corpus: DataFrame): Boolean =
+    graft.io.FsUtil.readString(idxMetaPath(indexPath))
+      .contains(digestString(rawDigest(corpus)))
+
+  /** Probe the self-describing index — no corpus argument: centroids and
+    * data both come from the artifact (partition-pruned read, same
+    * probe machinery as ivfTopK).
+    */
+  def ivfProbeIndexed(spark: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int = 10, nProbe: Int = 4): DataFrame =
+    ivfProbeIndexBc(spark, s"$indexPath/data",
+      broadcastCentroids(spark, loadCents(spark, indexPath)),
+      queries, k, nProbe)
+
   /** Convenience: build (or reuse) the index under `indexPath`, probe.
     * Reuse requires BOTH the _SUCCESS marker and a matching metadata
     * fingerprint (centroid content + nCentroids); anything else rebuilds.

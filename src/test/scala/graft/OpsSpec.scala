@@ -558,6 +558,33 @@ class OpsSpec extends AnyFunSuite {
       "index must rebuild when the corpus changes under unchanged centroids")
   }
 
+  test("ANN IVF append: build 80%, append 20%, full-probe == brute force over the union") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append_test").toString + "/index"
+    val k = 8
+    val existing = embs.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = embs.filter(pmod(col("vec_id"), lit(5)) === 0)
+    SimilarityOps.buildIvfIndexed(spark, existing, base, nCentroids = k)
+    assert(SimilarityOps.ivfIndexedMatches(base, existing))
+    assert(!SimilarityOps.ivfIndexedMatches(base, embs),
+      "digest must not claim the union before the append")
+    SimilarityOps.ivfAppendIndexed(spark, base, batch)
+    // the merged digest equals a FRESH digest of the union — the append
+    // never rescanned the existing corpus to get there
+    assert(SimilarityOps.ivfIndexedMatches(base, embs))
+    assert(!SimilarityOps.ivfIndexedMatches(base, existing))
+    // with nProbe == nCentroids the probe covers every cell: results
+    // must equal brute force over the WHOLE union — appended vectors are
+    // both findable (in cells) and usable (centroids pinned)
+    val queries = embs.filter(pmod(col("vec_id"), lit(101)) === 0)
+    val got = SimilarityOps.ivfProbeIndexed(spark, base, queries,
+        k = 3, nProbe = k)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = SimilarityOps.bruteForceTopK(embs, queries, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(got == brute)
+  }
+
   test("tf-idf keywords: discriminative terms outrank ubiquitous ones") {
     import spark.implicits._
     val d = Seq((1L, "apple banana apple"), (2L, "banana cherry banana"),
