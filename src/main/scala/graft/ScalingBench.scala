@@ -36,6 +36,16 @@ object ScalingBench {
         Bench.timeExtraction(spark, path, n) // JIT/codegen/page-cache warmup
         warmed += cpus
       }
+      // EVERY pass runs in a FRESH SparkSession, so codegen compilation
+      // and session init would otherwise land inside the MEASURED pass
+      // on every round after a level's first (observed round-5 window B:
+      // level-16 floors climbing 496k -> 560k -> 784k across rounds —
+      // the floor never converged inside a 3-round window). A short
+      // slice warms the new session's generated code before the clock
+      // starts; the first-visit FULL warm pass above still covers
+      // page-cache and JVM-wide JIT.
+      Bench.forceAll(graft.pipeline.ExtractPipeline.extract(
+        spark.read.parquet(path).limit(20000)))
       val probe = Bench.parallelSpinMops(probeThreads)
       val r = Bench.timeExtraction(spark, path, n)
       spark.stop()
