@@ -117,6 +117,14 @@ object StreamExtract {
         Iterator.empty
       } else {
         val evs = events.toVector
+        if (evs.isEmpty) {
+          // initial-state delivery: bootstrapped groups are visited once
+          // on the first batch even without traffic. Keep the seeded
+          // anchor, emit nothing; no event time exists yet, so no
+          // timeout arms — it arms on first traffic (the documented
+          // bootstrap-slice caveat in streamDedupMinhashCandidatesFrom).
+          Iterator.empty
+        } else {
         val docs = evs.map(e => (e._2, e._3)).distinctBy(_._1).sortBy(_._1)
         val lastTs = evs.map(_._4.getTime).max
         val prev = state.getOption
@@ -138,6 +146,7 @@ object StreamExtract {
         state.setTimeoutTimestamp(math.max(nextLast + horizonMs,
           state.getCurrentWatermarkMs() + 1))
         out.iterator
+        }
       }
     }
 
@@ -154,11 +163,12 @@ object StreamExtract {
     * (< ShingleK chars cannot be shingle near-dups); the gate sits
     * AFTER the watermark so gated rows still advance event time.
     */
-  def streamDedupMinhashCandidates(spark: SparkSession, rows: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id",
-      tsCol: String = "ts",
-      horizonMs: Long = 10L * 60 * 1000): Dataset[DupCandidate] = {
-    import spark.implicits._
+  /** The banded event stream feeding the minhash state machine (shared
+    * by the cold-start and index-bootstrapped flavors).
+    */
+  private def minhashBandEvents(rows: DataFrame, textCol: String,
+      idCol: String, tsCol: String, horizonMs: Long)
+      : DataFrame =
     rows
       .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
         col(textCol).as("text"))
@@ -171,10 +181,63 @@ object StreamExtract {
       // re-serialize and strip the watermark tag off the ts attribute)
       .select(struct(col("band_idx"), col("band_key")).as("_1"),
         col("doc_id").as("_2"), lit(0L).as("_3"), col("ts").as("_4"))
+
+  def streamDedupMinhashCandidates(spark: SparkSession, rows: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      tsCol: String = "ts",
+      horizonMs: Long = 10L * 60 * 1000): Dataset[DupCandidate] = {
+    import spark.implicits._
+    minhashBandEvents(rows, textCol, idCol, tsCol, horizonMs)
       .as[((Int, Long), Long, Long, java.sql.Timestamp)] // payload unused
       .groupByKey(_._1)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        anchorBucketFn[(Int, Long), Long, DupCandidate](horizonMs,
+          (key, aid, _, oid, _) => Some(
+            DupCandidate(math.min(aid, oid), math.max(aid, oid), key._1))))
+  }
+
+  /** streamDedupMinhashCandidates with its anchor state BOOTSTRAPPED
+    * from a persisted batch band index (DedupOps.ensureMinhashIndex's
+    * bands table): the stream starts already knowing the corpus — new
+    * documents pair against the indexed corpus WITHOUT replaying it
+    * through the stream (the streaming face of dd_incremental; batch
+    * appends and the stream consult the same artifact).
+    *
+    * Each indexed (band_idx, band_key) bucket seeds one AnchorState
+    * whose anchor is the bucket's min doc_id — exactly the state a
+    * replay of the indexed corpus would have converged to
+    * (content-min anchor), so stream-after-bootstrap == stream-after-
+    * replay by construction (StreamingSpec pins the emitted pairs
+    * against a batch recomputation of the same semantics).
+    *
+    * Bounded-state caveat, stated: initial-state groups that never see
+    * traffic have no timeout armed (Structured Streaming arms timeouts
+    * only when a group's function runs), so they are NOT watermark-
+    * expired. Bootstrap the slice of the index the stream should dedup
+    * against (e.g. the active-horizon partitions), not an unbounded
+    * corpus history.
+    */
+  def streamDedupMinhashCandidatesFrom(spark: SparkSession,
+      rows: DataFrame, indexBands: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      tsCol: String = "ts",
+      horizonMs: Long = 10L * 60 * 1000): Dataset[DupCandidate] = {
+    import spark.implicits._
+    val initialState = indexBands
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(min(col("doc_id")).as("anchor_id"))
+      .select(struct(col("band_idx"), col("band_key")).as("_1"),
+        col("anchor_id").as("_2"))
+      .as[((Int, Long), Long)]
+      .groupByKey(_._1)
+      .mapValues(v => AnchorState[Long](v._2, 0L, 0L))
+    minhashBandEvents(rows, textCol, idCol, tsCol, horizonMs)
+      .as[((Int, Long), Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout,
+        initialState)(
         anchorBucketFn[(Int, Long), Long, DupCandidate](horizonMs,
           (key, aid, _, oid, _) => Some(
             DupCandidate(math.min(aid, oid), math.max(aid, oid), key._1))))

@@ -394,6 +394,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bootstrapped stream dedup: new docs pair against the indexed corpus without replay") {
+    import spark.implicits._
+    val base = TranscriptGen.BaseEpochMs
+    // batch1 is INDEXED (ensureMinhashIndex), then ONLY batch2 streams:
+    // the initial state must make new docs pair against the indexed
+    // corpus exactly as if batch1 had been replayed through the stream
+    val tA = "the quick brown fox jumps over the lazy dog near the river " +
+      "bank while the calm afternoon sun warms the meadow grass softly"
+    val tB = "completely unrelated payload discussing spark shuffle " +
+      "partitions catalyst expressions and columnar parquet encodings"
+    val tC = "a third narrative about manifests lineage checkpoints and " +
+      "resumable bucket waves in the extraction engine tonight"
+    val tD = "grouped payload appearing only inside the appended batch " +
+      "twice so the stream must also catch fresh new-new duplicates"
+    val batch1 = Seq((10L, tA), (11L, tA), (20L, tB))
+    val batch2 = Seq((5L, tA), (30L, tA), (40L, tC), (50L, tD), (51L, tD))
+    val idxPath = Files.createTempDirectory("graft_stream_boot").toString +
+      "/index"
+    val (bands, _) = graft.ops.DedupOps.ensureMinhashIndex(spark,
+      batch1.toDF("doc_id", "text"), idxPath)
+    val dir = Files.createTempDirectory("graft_stream_boot_in").toString
+    batch2.zipWithIndex.map { case ((id, txt), k) =>
+      (id, txt, new java.sql.Timestamp(base + k * 1000L)) }
+      .toDF("doc_id", "text", "ts")
+      .write.mode("overwrite").parquet(dir)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val q = StreamExtract.streamDedupMinhashCandidatesFrom(spark,
+        spark.readStream.schema(docSchema).parquet(dir), bands,
+        horizonMs = 3600L * 1000)
+      .toDF()
+      .writeStream.format("memory").queryName("stream_boot")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT id_a, id_b FROM stream_boot")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // tA bucket: indexed anchor 10; arrivals {5, 30}; 5 TAKES OVER as
+      // the content-min anchor -> (5,10) on displacement + (5,30).
+      // tD bucket: unindexed, new-new -> (50,51).
+      // tC singleton, tB no traffic -> nothing. No batch1 replay pairs
+      // ((10,11) is the batch/index build's job, not the stream's).
+      assert(pairs == Set((5L, 10L), (5L, 30L), (50L, 51L)),
+        s"bootstrapped pairs drifted: $pairs")
+    } finally q.stop()
+  }
+
   test("stream-then-reconcile clusters == pure-batch clusters on an appended corpus") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
