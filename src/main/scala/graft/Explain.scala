@@ -55,6 +55,23 @@ object Explain {
     ExtractPipeline.extractDistributedRankLong(
       spark.read.parquet(path), nPart = 8).explain("formatted")
 
+    println("==== simhash candidates (ONE banding exchange + ReusedExchange) ====")
+    // round-5 shape: count-window valve over the single exchange; the
+    // self-join's second side must be a ReusedExchange — the per-row
+    // hashing runs once (BandingSpec counts it)
+    graft.ops.DedupOps.simhashCandidates(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      maxHamming = 4).explain("formatted")
+
+    println("==== composed corpus tail (docs hub persisted; no re-extraction) ====")
+    // the tail over a materialized hub: InMemoryTableScans feed exact
+    // dedup / near-dup / gate; extract_turn must appear ONLY inside the
+    // cached relation's build (CorpusSpec walks the tree to assert it)
+    val corpusDocs = graft.pipeline.CorpusPipeline.corpusDocs(
+        spark.read.parquet(path).limit(20000))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.CorpusPipeline.corpus(corpusDocs).explain("formatted")
+
     println("==== codegen check: extract_turn inside WholeStageCodegen ====")
     val df = ExtractPipeline.extract(spark.read.parquet(path))
     df.collect() // force execution so the final (AQE-resolved) plan exists
