@@ -94,6 +94,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(cacheScans > 0, "tail must read the materialized docs hub")
   }
 
+  test("composed corpus swallows INJECTED exact and near duplicates across corpus shapes") {
+    import org.apache.spark.sql.functions.{concat, lit => flit}
+    // three corpus shapes, each salted with deterministic duplicate
+    // injections: an exact copy (+100000 id) and a near copy with a
+    // short appended tail (+200000 id, jaccard ~0.95 on these doc
+    // lengths) of every `stride`-th doc. The copies carry HIGHER ids
+    // than their sources, so the min-id survivor contract demands that
+    // NO injected id ever survives the composed pipeline.
+    for ((nConvs, cap, stride) <- Seq((48, 12, 3), (64, 16, 5))) {
+      val baseDocs = CorpusPipeline.corpusDocs(
+        SparkEntry.transcripts(spark, nConvs, cap))
+      val seedRows = baseDocs.filter(pmod(col("doc_id"), lit(stride)) === 0)
+      val exactCopies = seedRows
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("conv_id", concat(flit("dupx-"), col("conv_id")))
+      val nearCopies = seedRows
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("conv_id", concat(flit("dupn-"), col("conv_id")))
+        .withColumn("text", concat(col("text"), flit(" tail marker")))
+      val salted = baseDocs.unionByName(exactCopies).unionByName(nearCopies)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kept = CorpusPipeline.corpus(salted, minJaccard = 0.5,
+          minQuality = 0.0, langs = Seq("en", "und", "fr", "de", "es"))
+        .collect()
+      val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+      val injected = keptIds.filter(_ >= 100000)
+      assert(injected.isEmpty,
+        s"($nConvs,$cap,$stride): injected duplicates survived: " +
+          s"${injected.take(5)}")
+      assert(kept.nonEmpty)
+      // and the output is still exact-dup-free
+      val texts = kept.map(_.getAs[String]("text"))
+      assert(texts.length == texts.distinct.length)
+      salted.unpersist(blocking = false)
+    }
+  }
+
   test("doc_id derivation matches the conv id suffix and is unique") {
     val m = docs.select(col("doc_id"), col("conv_id")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
