@@ -75,7 +75,16 @@ object DedupOps {
     * signatures keyed by doc_id, proportional to candidates, not corpus.
     */
   def minhashCandidates(docs: DataFrame, minJaccard: Double = 0.6,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000): DataFrame =
+    minhashCandidatesWithCache(docs, minJaccard, maxBucket)._1
+
+  /** (candidates, the internal sig cache) — callers that outlive one
+    * session use the handle to release the cache once candidates are
+    * materialized (runMinhashNearDups / CorpusPipeline.runCorpus do);
+    * one-shot Verify/Bench sessions use minhashCandidates directly.
+    */
+  private[graft] def minhashCandidatesWithCache(docs: DataFrame,
+      minJaccard: Double, maxBucket: Int): (DataFrame, DataFrame) = {
     // The 64-min signature is THE expensive per-row pass (shingle the
     // text + 64 running minima). It is computed ONCE and persisted —
     // the band keys DERIVE from the cached signature
@@ -104,7 +113,7 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    candidates
+    val screened = candidates
       .join(sigs.withColumnRenamed("doc_id", "id_a")
         .withColumnRenamed("sig", "sig_a"), Seq("id_a"))
       .join(sigs.withColumnRenamed("doc_id", "id_b")
@@ -116,6 +125,7 @@ object DedupOps {
           lit(graft.kernel.TextHash.NumHashes.toDouble))
       .filter(col("est") >= minJaccard - 0.15)
       .select(col("id_a"), col("id_b"))
+    (screened, sigs)
   }
 
   /** (doc_id, sig) for the eligible docs — the one expensive pass. */
@@ -214,6 +224,19 @@ object DedupOps {
           lit(graft.kernel.TextHash.NumHashes.toDouble))
       .filter(col("est") >= minJaccard - 0.15)
       .select(col("id_a"), col("id_b"))
+  }
+
+  /** minhashNearDups with cache discipline for LONG-LIVED sessions:
+    * materialize through `action`, then release the internal sig cache
+    * (the runDistributedRank pattern — the lazy entry points cannot
+    * unpersist for you).
+    */
+  def runMinhashNearDups[A](docs: DataFrame, minJaccard: Double = 0.6,
+      maxBucket: Int = 10000)(action: DataFrame => A): A = {
+    val (cands, sigCache) =
+      minhashCandidatesWithCache(docs, minJaccard, maxBucket)
+    try action(verifyJaccard(cands, eligibleDocs(docs), minJaccard))
+    finally { sigCache.unpersist(blocking = false); () }
   }
 
   /** Verify stage: join texts back for the candidate pairs only, exact

@@ -62,6 +62,15 @@ object CorpusPipeline {
     * would re-run it once per consumer). Returns the kept corpus with
     * gate annotations: docs columns + (quality, lang_pred).
     */
+  /** The shared post-pairs tail: clusters -> survivors -> gate (one
+    * definition, so corpus() and runCorpus() cannot drift).
+    */
+  private def gateTail(exact: DataFrame, pairs: DataFrame,
+      minQuality: Double, langs: Seq[String]): DataFrame =
+    TextOps.qualityFilter(
+      DedupOps.dedupSurvivors(exact, DedupOps.clusterLabels(pairs)),
+      minQuality, langs)
+
   def corpus(docs: DataFrame, minJaccard: Double = 0.5,
       minQuality: Double = 0.8,
       langs: Seq[String] = Seq("en")): DataFrame = {
@@ -71,9 +80,7 @@ object CorpusPipeline {
     val exact = exactSurvivors(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = DedupOps.minhashNearDups(exact, minJaccard)
       .select(col("id_a"), col("id_b"))
-    val clusters = DedupOps.clusterLabels(pairs)
-    val survivors = DedupOps.dedupSurvivors(exact, clusters)
-    TextOps.qualityFilter(survivors, minQuality, langs)
+    gateTail(exact, pairs, minQuality, langs)
   }
 
   /** Whole pipeline from raw transcripts; materializes the docs hub. */
@@ -82,4 +89,27 @@ object CorpusPipeline {
       langs: Seq[String] = Seq("en")): DataFrame =
     corpus(corpusDocs(turns).persist(StorageLevel.MEMORY_AND_DISK),
       minJaccard, minQuality, langs)
+
+  /** corpus() with cache discipline for LONG-LIVED sessions: the kept
+    * corpus is materialized through `action`, then BOTH internal caches
+    * (the exact-survivor hub and the minhash sig pass) are released —
+    * the runDistributedRank pattern; the lazy corpus() cannot unpersist
+    * for you because its result still references the caches.
+    */
+  def runCorpus[A](docs: DataFrame, minJaccard: Double = 0.5,
+      minQuality: Double = 0.8, langs: Seq[String] = Seq("en"))(
+      action: DataFrame => A): A = {
+    val exact = exactSurvivors(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val (cands, sigCache) = DedupOps.minhashCandidatesWithCache(
+      exact, minJaccard, maxBucket = 10000)
+    try {
+      val pairs = DedupOps.verifyJaccard(cands, exact, minJaccard)
+        .select(col("id_a"), col("id_b"))
+      action(gateTail(exact, pairs, minQuality, langs))
+    } finally {
+      sigCache.unpersist(blocking = false)
+      exact.unpersist(blocking = false)
+      ()
+    }
+  }
 }

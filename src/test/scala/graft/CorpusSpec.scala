@@ -131,6 +131,42 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("runCorpus: same result as corpus(), all internal caches released after") {
+    spark.sharedState.cacheManager.clearCache()
+    val freshDocs = CorpusPipeline.corpusDocs(
+        SparkEntry.transcripts(spark, 48, 12))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val viaRun = CorpusPipeline.runCorpus(freshDocs, minJ, minQ, Seq("en")) {
+      df => df.collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+    // only the CALLER's docs cache may remain — both internal caches
+    // (exact hub, sig pass) must be gone
+    val cached = spark.sharedState.cacheManager
+    freshDocs.unpersist(blocking = true)
+    assert(cached.isEmpty,
+      "runCorpus must release its internal caches")
+    val viaLazy = CorpusPipeline.corpus(
+        freshDocs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        minJ, minQ, Seq("en"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(viaRun == viaLazy && viaRun.nonEmpty)
+  }
+
+  test("runMinhashNearDups: pairs == lazy op, sig cache released after") {
+    import spark.implicits._
+    spark.sharedState.cacheManager.clearCache()
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaRun = graft.ops.DedupOps.runMinhashNearDups(d, minJaccard = 0.6) {
+      pairs => pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "runMinhashNearDups must release the sig cache")
+    val viaLazy = graft.ops.DedupOps.minhashNearDups(d, minJaccard = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaRun == viaLazy && viaRun.nonEmpty)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("doc_id derivation matches the conv id suffix and is unique") {
     val m = docs.select(col("doc_id"), col("conv_id")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
