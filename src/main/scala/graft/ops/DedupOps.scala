@@ -198,10 +198,27 @@ object DedupOps {
       minJaccard: Double = 0.6, maxBucket: Int = 10000): DataFrame = {
     val newSigs = minhashSigs(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val combined = indexBands
+    val newBanded = bandsOfSigs(newSigs)
+    // TOUCHED-bucKET prune: only buckets containing a new-batch doc can
+    // produce a pair with a new side, so the index contributes just
+    // those — the valve window and self-join then shuffle
+    // O(touched buckets), not O(index) (without this, every daily batch
+    // re-shuffled the entire corpus-sized band table). The semi-join's
+    // key side is the new batch's distinct band keys: AQE broadcasts it
+    // when small (the daily-append case — the index side then never
+    // shuffles at all) and falls back to a shuffled join when not,
+    // which is the old cost as the floor. Candidate semantics are
+    // UNCHANGED: untouched buckets cannot emit, and touched buckets
+    // keep their exact combined size for the valve (the tiling-equality
+    // test pins it).
+    val newKeys = newBanded.select(col("band_idx"), col("band_key"))
+      .distinct()
+    val touched = indexBands
+      .join(newKeys, Seq("band_idx", "band_key"), "left_semi")
+    val combined = touched
       .select(col("doc_id"), col("band_idx"), col("band_key"),
         lit(false).as("is_new"))
-      .unionByName(bandsOfSigs(newSigs).withColumn("is_new", lit(true)))
+      .unionByName(newBanded.withColumn("is_new", lit(true)))
     val pruned = valve(combined, Seq("band_idx", "band_key"), maxBucket)
     val candidates = pruned.as("a")
       .join(pruned.as("b"),
