@@ -26,7 +26,8 @@ object Dumps {
     "turns_v", "fingerprints", "blocks", "mh_cands", "mh_pairs",
     "sh_cands", "sh_cands_ext", "em_cands", "ckpt", "ivf_index",
     "ivf_index_app", "docs_jsonl", "docs_tsv", "corpus_docs",
-    "corpus_cands", "mh_index", "mh_inc_cands")
+    "corpus_cands", "corpus_cands_incr", "corpus_mh_index", "mh_index",
+    "mh_inc_cands")
 
   /** Version DERIVED from the kernel parameterization + hashing constants
     * + dump family list (round-4 judge item: a hand-bumped string rots
@@ -77,6 +78,14 @@ object Dumps {
   def corpusDocs(sfDir: String): String = s"${root(sfDir)}/corpus_docs"
   /** The composed pipeline's near-dup candidate pairs (x_corpus). */
   def corpusCands(sfDir: String): String = s"${root(sfDir)}/corpus_cands"
+  /** The INCREMENTAL composed route's candidate pairs (x_corpus_incr):
+    * day-0 internal pairs UNION day-1-vs-index incremental pairs.
+    */
+  def corpusCandsIncr(sfDir: String): String =
+    s"${root(sfDir)}/corpus_cands_incr"
+  /** The day-0 band/sig index of the incremental composed route. */
+  def corpusMhIndex(sfDir: String): String =
+    s"${root(sfDir)}/corpus_mh_index"
   /** Persisted minhash band/sig index artifact (incremental dedup). */
   def mhIndex(sfDir: String): String = s"${root(sfDir)}/mh_index"
   /** Incremental-batch candidate pairs vs the band index (dd_incremental). */

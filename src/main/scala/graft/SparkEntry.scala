@@ -278,6 +278,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the INCREMENTAL composed route (the operational daily job,
+    //      capstone of round 5): the SAME final corpus as x_corpus,
+    //      reached the way production reaches it — day 0 (3/4 of the
+    //      conv docs) is indexed once (ensureMinhashIndex), day 1's
+    //      batch goes through incrementalMinhashCandidates against the
+    //      index (no day-0 re-hash), and day-0-internal pairs UNION
+    //      incremental pairs feed one cluster state. Because the
+    //      incremental candidates TILE exactly with the index-internal
+    //      ones, the dumped union equals x_corpus's candidate set and
+    //      the oracle is the same full-tail recomputation over the
+    //      incremental route's own dumps — two routes, one corpus,
+    //      both hash-gated -----------------------------------------
+    "x_corpus_incr" -> ((s, dir) => {
+      val docsDf = s.read.parquet(Dumps.ensure(Dumps.corpusDocs(dir))(
+        graft.pipeline.CorpusPipeline.corpusDocs(transcripts(s, 256, 64))))
+      val exact = graft.pipeline.CorpusPipeline.exactSurvivors(docsDf)
+      val day0 = exact.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val day1 = exact.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val (idxBands, idxSigs) = graft.ops.DedupOps.ensureMinhashIndex(
+        s, day0, Dumps.corpusMhIndex(dir))
+      val cands = s.read.parquet(Dumps.ensure(Dumps.corpusCandsIncr(dir))(
+        graft.ops.DedupOps.minhashCandidates(day0, minJaccard = 0.5)
+          .unionByName(graft.ops.DedupOps.incrementalMinhashCandidates(
+            day1, idxBands, idxSigs, minJaccard = 0.5))
+          .distinct()))
+      val pairs = graft.ops.DedupOps.verifyJaccard(cands, exact,
+        minJaccard = 0.5).select(col("id_a"), col("id_b"))
+      val survivors = graft.ops.DedupOps.dedupSurvivors(exact,
+        graft.ops.DedupOps.clusterLabels(pairs))
+      graft.ops.TextOps.qualityFilter(survivors, minQuality = 0.8,
+          langs = Seq("en"))
+        .select(col("doc_id"), col("conv_id"), col("n_turns"), col("text"),
+          col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup (training-data pipeline) ---------------------------------
     "dd_exact" -> ((s, dir) =>
       graft.ops.DedupOps.exactDedup(docs(s, dir)).orderBy(col("text_md5"))),
@@ -734,6 +770,53 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus")))
   )
 
+  /** The full composed-pipeline TAIL recomputed independently over the
+    * docs dump + a candidate dump: exact dedup (min-id per md5), exact
+    * shingle-jaccard verify, recursive-CTE transitive closure ->
+    * non-survivors, anti-join, then the shared quality/langid gate —
+    * parameterized by the candidate dump so the batch route (x_corpus)
+    * and the incremental route (x_corpus_incr) share ONE recomputation.
+    */
+  private def corpusTailSql(candsPath: String): String = {
+    val o = Dumps.OracleSf
+    val jaccardCase =
+      """CASE WHEN la = 0 AND lb = 0 THEN 1.0
+        |             WHEN la = 0 OR lb = 0 THEN 0.0
+        |             ELSE CAST(i AS DOUBLE) / (la + lb - i) END""".stripMargin
+    s"""WITH RECURSIVE
+       |d AS (SELECT * FROM read_parquet('${Dumps.corpusDocs(o)}/*.parquet')),
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)),
+       |e AS (SELECT d.* FROM d JOIN keepers USING (doc_id)),
+       |c AS (SELECT id_a, id_b
+       |      FROM read_parquet('$candsPath/*.parquet')),
+       |shing AS (SELECT doc_id, $shinglesSql AS sh FROM e),
+       |p AS (SELECT id_a, id_b,
+       |        len(list_intersect(a.sh, b.sh)) AS i,
+       |        len(a.sh) AS la, len(b.sh) AS lb
+       |      FROM c JOIN shing a ON a.doc_id = c.id_a
+       |             JOIN shing b ON b.doc_id = c.id_b),
+       |v AS (SELECT id_a, id_b FROM p
+       |      WHERE ($jaccardCase) >= 0.5),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM v
+       |        UNION SELECT id_b, id_a FROM v),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+       |  WHERE s.b <> r.a),
+       |nonsurv AS (
+       |  SELECT r.a AS doc_id FROM reach r
+       |  GROUP BY r.a HAVING min(r.b) < r.a),
+       |surv AS (SELECT e.* FROM e
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM nonsurv)),
+       |${scoreCtesSql("surv")}
+       |SELECT surv.doc_id, conv_id, n_turns, text, quality, lang_pred
+       |FROM surv JOIN qual ON surv.doc_id = qual.doc_id
+       |          JOIN lang ON surv.doc_id = lang.doc_id
+       |WHERE quality >= 0.8 AND lang_pred IN ('en')
+       |ORDER BY surv.doc_id""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (plus the engine's own /tmp dumps — see
     * graft.Dumps). Oracle SQL is generated against Dumps.OracleSf, the
@@ -828,44 +911,12 @@ object SparkEntry {
       // verify of the dumped candidates, recursive-CTE transitive
       // closure -> non-survivors, anti-join, then the shared quality/
       // langid replica as the gate — every downstream column checked
-      "x_corpus" -> {
-        val jaccardCase =
-          """CASE WHEN la = 0 AND lb = 0 THEN 1.0
-            |             WHEN la = 0 OR lb = 0 THEN 0.0
-            |             ELSE CAST(i AS DOUBLE) / (la + lb - i) END""".stripMargin
-        s"""WITH RECURSIVE
-           |d AS (SELECT * FROM read_parquet('${Dumps.corpusDocs(o)}/*.parquet')),
-           |keepers AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)),
-           |e AS (SELECT d.* FROM d JOIN keepers USING (doc_id)),
-           |c AS (SELECT id_a, id_b
-           |      FROM read_parquet('${Dumps.corpusCands(o)}/*.parquet')),
-           |shing AS (SELECT doc_id, $shinglesSql AS sh FROM e),
-           |p AS (SELECT id_a, id_b,
-           |        len(list_intersect(a.sh, b.sh)) AS i,
-           |        len(a.sh) AS la, len(b.sh) AS lb
-           |      FROM c JOIN shing a ON a.doc_id = c.id_a
-           |             JOIN shing b ON b.doc_id = c.id_b),
-           |v AS (SELECT id_a, id_b FROM p
-           |      WHERE ($jaccardCase) >= 0.5),
-           |sym AS (SELECT id_a AS a, id_b AS b FROM v
-           |        UNION SELECT id_b, id_a FROM v),
-           |reach(a, b) AS (
-           |  SELECT a, b FROM sym
-           |  UNION
-           |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-           |  WHERE s.b <> r.a),
-           |nonsurv AS (
-           |  SELECT r.a AS doc_id FROM reach r
-           |  GROUP BY r.a HAVING min(r.b) < r.a),
-           |surv AS (SELECT e.* FROM e
-           |         WHERE doc_id NOT IN (SELECT doc_id FROM nonsurv)),
-           |${scoreCtesSql("surv")}
-           |SELECT surv.doc_id, conv_id, n_turns, text, quality, lang_pred
-           |FROM surv JOIN qual ON surv.doc_id = qual.doc_id
-           |          JOIN lang ON surv.doc_id = lang.doc_id
-           |WHERE quality >= 0.8 AND lang_pred IN ('en')
-           |ORDER BY surv.doc_id""".stripMargin
-      },
+      "x_corpus" -> corpusTailSql(Dumps.corpusCands(o)),
+      // the incremental route's tail is the SAME recomputation over ITS
+      // OWN candidate dump — the tiling property makes the two dumps
+      // hold the same pair set, so both routes gate against the same
+      // independently-recomputed corpus
+      "x_corpus_incr" -> corpusTailSql(Dumps.corpusCandsIncr(o)),
 
       // ---- dedup family -------------------------------------------------
       "dd_exact" ->

@@ -131,6 +131,32 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental composed route == batch composed route (the daily job)") {
+    // day 0 is indexed; day 1 rides incrementalMinhashCandidates; the
+    // unioned pair set must resolve to the SAME final corpus the pure
+    // batch composition produces — the x_corpus_incr contract, proven
+    // in-JVM (the driver gate hashes both against the same oracle)
+    val exact = CorpusPipeline.exactSurvivors(docs)
+    val day0 = exact.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val day1 = exact.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_corpus_incr").toString + "/index"
+    val (idxBands, idxSigs) = graft.ops.DedupOps.ensureMinhashIndex(
+      spark, day0, idxPath)
+    val cands = graft.ops.DedupOps.minhashCandidates(day0, minJ)
+      .unionByName(graft.ops.DedupOps.incrementalMinhashCandidates(
+        day1, idxBands, idxSigs, minJ))
+      .distinct()
+    val pairs = graft.ops.DedupOps.verifyJaccard(cands, exact, minJ)
+      .select(col("id_a"), col("id_b"))
+    val viaIncr = TextOps.qualityFilter(
+        graft.ops.DedupOps.dedupSurvivors(exact,
+          graft.ops.DedupOps.clusterLabels(pairs)), minQ, Seq("en"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val viaBatch = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(viaIncr == viaBatch && viaIncr.nonEmpty)
+  }
+
   test("runCorpus: same result as corpus(), all internal caches released after") {
     spark.sharedState.cacheManager.clearCache()
     val freshDocs = CorpusPipeline.corpusDocs(
