@@ -49,6 +49,16 @@ object DedupOps {
     * Keeps rows whose bucket has 2..maxBucket members (same filter as
     * the old valve: singleton buckets yield no pairs; mega-buckets are
     * exact-dedup's job).
+    *
+    * Trade made consciously: WindowExec buffers each bucket on its task
+    * (spilling past memory) BEFORE the filter drops mega-buckets, where
+    * the old agg+join stream-dropped them. Rows here are ~24-byte
+    * ids+keys, so even a 10M-row boilerplate bucket spills ~240 MB on
+    * one task — bounded damage, paid only by corpora whose boilerplate
+    * dodges exact dedup. If that is the profile, reinstate an agg+join
+    * valve for that corpus and keep the hashing-once guarantee by
+    * persisting the banded frame instead (the minhash path already
+    * persists its sig pass).
     */
   private def valve(banded: DataFrame, keys: Seq[String],
       maxBucket: Int): DataFrame = {
