@@ -466,6 +466,10 @@ object SparkEntry {
     // fraction + top word-bigram share, full SQL replica
     "ta_repetition" -> ((s, dir) =>
       graft.ops.TextOps.repetitionReport(docs(s, dir))),
+    // fixed-window chunking with overlap (the pre-tokenization packing
+    // step), offsets carried for provenance; full SQL replica
+    "ta_chunks" -> ((s, dir) =>
+      graft.ops.TextOps.chunk(docs(s, dir), maxChars = 300, overlap = 50)),
     // PII redaction (emails + bare URLs -> pinned placeholders, counted):
     // the corpus is PII-free by construction, so the query SEEDS
     // deterministic doc_id-derived emails/URLs into 2/7 of the rows —
@@ -1179,6 +1183,19 @@ object SparkEntry {
           |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
           |FROM la LEFT JOIN top ON la.doc_id = top.doc_id
           |ORDER BY la.doc_id""".stripMargin,
+      "ta_chunks" ->
+        """WITH starts AS (SELECT doc_id, text,
+          |    unnest(list_transform(range(0,
+          |      (CASE WHEN length(text) <= 300 THEN 0
+          |            ELSE (length(text) - 300 + 250 - 1) // 250 END) + 1),
+          |      i -> CAST(i * 250 AS BIGINT))) AS char_start
+          |  FROM documents WHERE length(text) > 0)
+          |SELECT doc_id,
+          |  CAST(char_start // 250 AS BIGINT) AS chunk_idx,
+          |  char_start,
+          |  least(char_start + 300, length(text)) AS char_end,
+          |  substring(text, CAST(char_start + 1 AS INT), 300) AS chunk
+          |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
       "ta_redact" ->
         """WITH seeded AS (SELECT doc_id,
           |    CASE WHEN doc_id % 7 = 0

@@ -194,6 +194,44 @@ object TextOps {
         EmailRe, "<EMAIL>").as("redacted"))
       .orderBy(col("doc_id"))
 
+  /** Fixed-window document chunking with overlap — the packing step a
+    * training pipeline runs before tokenization: chunk i covers
+    * [i*(maxChars-overlap), +maxChars), the last chunk may be shorter,
+    * empty docs yield no chunks. Offsets ride along (char_start/char_end,
+    * 0-based half-open) so chunks remain traceable to source spans —
+    * the same provenance discipline as the extraction spans. A narrow
+    * explode; chunks never shuffle unless the consumer asks.
+    *
+    * Reconstruction invariant (OpsSpec): dropping the first `overlap`
+    * chars of every chunk after the first and concatenating reproduces
+    * the document byte-for-byte.
+    */
+  def chunk(docs: DataFrame, maxChars: Int, overlap: Int): DataFrame = {
+    require(maxChars > 0 && overlap >= 0 && overlap < maxChars,
+      s"need 0 <= overlap < maxChars, got maxChars=$maxChars overlap=$overlap")
+    val step = maxChars - overlap
+    // last chunk index = ceil((len - maxChars)/step) for len > maxChars,
+    // else 0 — a tail window FULLY covered by its predecessor is never
+    // emitted (it would duplicate training content verbatim). Integer
+    // arithmetic so the DuckDB replica is trivially engine-identical.
+    val lastIdx = when(length(col("text")) <= maxChars, lit(0))
+      .otherwise(expr(
+        s"CAST((length(text) - $maxChars + $step - 1) DIV $step AS INT)"))
+    docs
+      .select(col("doc_id"), col("text"),
+        posexplode(when(length(col("text")) === 0,
+            array().cast("array<int>"))
+          .otherwise(transform(sequence(lit(0), lastIdx), i => i * step)))
+          .as(Seq("chunk_idx", "char_start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("char_start").cast("long").as("char_start"),
+        least(col("char_start") + maxChars, length(col("text")))
+          .cast("long").as("char_end"),
+        col("text").substr(col("char_start") + 1, lit(maxChars))
+          .as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text
     * (SQL-expressible on both engines), plus the 64-bit simhash
     * fingerprint from the custom expression.

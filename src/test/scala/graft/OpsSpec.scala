@@ -661,6 +661,49 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L).getAs[Double]("top_bigram_frac") == 0.0)
   }
 
+  test("chunking: offsets + overlap reconstruction reproduce every document") {
+    import spark.implicits._
+    val maxChars = 40
+    val overlap = 10
+    val fixture = Seq(
+      (1L, "a" * 39),                      // single short chunk
+      (2L, ("abcdefghij" * 13).take(125)), // several chunks, short tail
+      (3L, "b" * 40),                      // exactly one full window
+      (4L, ""))                            // empty -> no chunks
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunk(fixture, maxChars, overlap).collect()
+    assert(!chunks.exists(_.getLong(0) == 4L))
+    val byDoc = chunks.groupBy(_.getLong(0))
+    for ((id, rows) <- byDoc) {
+      val src = fixture.filter(col("doc_id") === id)
+        .head().getAs[String]("text")
+      val ordered = rows.sortBy(_.getAs[Long]("chunk_idx"))
+      // offsets are faithful spans of the source
+      ordered.foreach { r =>
+        val s = r.getAs[Long]("char_start").toInt
+        val e = r.getAs[Long]("char_end").toInt
+        assert(r.getAs[String]("chunk") == src.substring(s, e))
+        assert(e - s <= maxChars)
+      }
+      // reconstruction: drop each later chunk's overlap prefix, concat
+      val rebuilt = ordered.zipWithIndex.map { case (r, i) =>
+        val c = r.getAs[String]("chunk")
+        if (i == 0) c else c.drop(overlap)
+      }.mkString
+      assert(rebuilt == src, s"doc $id reconstruction failed")
+    }
+    // doc 2 (125 chars): lastIdx = ceil((125-40)/30) = 3 -> 4 chunks
+    assert(byDoc(2L).length == 4)
+    // docs fully covered by one window emit exactly ONE chunk — a tail
+    // window contained in its predecessor would duplicate content
+    assert(byDoc(1L).length == 1)
+    assert(byDoc(3L).length == 1)
+    // invalid parameterizations refuse loudly
+    intercept[IllegalArgumentException] {
+      TextOps.chunk(fixture, maxChars = 10, overlap = 10)
+    }
+  }
+
   test("pii redaction: emails and urls replaced with placeholders, counted") {
     import spark.implicits._
     val fixture = Seq(
