@@ -434,9 +434,14 @@ object SparkEntry {
     }),
 
     // ---- text analysis ---------------------------------------------------
-    "ta_tokens" -> ((s, dir) => graft.ops.TextOps.tokenCounts(docs(s, dir))),
+    // (driver-hash ordering lives HERE, not in the operators — round-6
+    // lift: a production consumer of the TextOps frames never pays the
+    // global sort; oracle SQL unchanged)
+    "ta_tokens" -> ((s, dir) =>
+      graft.ops.TextOps.tokenCounts(docs(s, dir)).orderBy(col("doc_id"))),
     "ta_quality" -> ((s, dir) =>
-      graft.ops.TextOps.qualityReport(docs(s, dir)).drop("quality")),
+      graft.ops.TextOps.qualityReport(docs(s, dir)).drop("quality")
+        .orderBy(col("doc_id"))),
     "ta_scores" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         graft.expr.Functions.quality_score(col("text")).as("quality"),
@@ -459,17 +464,20 @@ object SparkEntry {
     // joins back — every column of the driver row is oracle-checked
     "ta_fingerprint" -> ((s, dir) => {
       val out = graft.ops.TextOps.fingerprints(docs(s, dir))
+        .orderBy(col("doc_id"))
       Dumps.ensure(Dumps.fp(dir))(out)
       out
     }),
     // repetition signals (the other Gopher filter half): duplicate-line
     // fraction + top word-bigram share, full SQL replica
     "ta_repetition" -> ((s, dir) =>
-      graft.ops.TextOps.repetitionReport(docs(s, dir))),
+      graft.ops.TextOps.repetitionReport(docs(s, dir))
+        .orderBy(col("doc_id"))),
     // fixed-window chunking with overlap (the pre-tokenization packing
     // step), offsets carried for provenance; full SQL replica
     "ta_chunks" -> ((s, dir) =>
-      graft.ops.TextOps.chunk(docs(s, dir), maxChars = 300, overlap = 50)),
+      graft.ops.TextOps.chunk(docs(s, dir), maxChars = 300, overlap = 50)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     // PII redaction (emails + bare URLs -> pinned placeholders, counted):
     // the corpus is PII-free by construction, so the query SEEDS
     // deterministic doc_id-derived emails/URLs into 2/7 of the rows —
@@ -484,12 +492,14 @@ object SparkEntry {
             concat(col("text"), lit(" see https://example.org/doc/"),
               col("doc_id").cast("string"), lit("?ref=a b")))
           .otherwise(col("text")))
-      graft.ops.TextOps.redactPii(seeded)
+      graft.ops.TextOps.redactPii(seeded).orderBy(col("doc_id"))
     }),
     // per-document top-3 TF-IDF keywords: corpus-statistic scoring with
     // no cross-term float summation anywhere (per-pair rows; rint 1e-6
     // parity recipe), so the whole operator is a full SQL replica
-    "ta_keywords" -> ((s, dir) => graft.ops.TextOps.keywords(docs(s, dir))),
+    "ta_keywords" -> ((s, dir) =>
+      graft.ops.TextOps.keywords(docs(s, dir))
+        .orderBy(col("doc_id"), col("rank"))),
 
     // ---- width-bucketed work equalization observable (the reference's
     //      RecResizeImgForTest sort-by-width batching, rec_img_aug.py:
@@ -511,18 +521,29 @@ object SparkEntry {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val jsonSchema = StructType.fromDDL(
         "id BIGINT, prio STRING, items ARRAY<BIGINT>")
-      o.select(to_json(struct(
+      val items = array(col("o_custkey").cast("long"),
+        pmod(col("o_orderkey"), lit(1000)).cast("long"),
+        length(col("o_orderstatus")).cast("long"))
+      // ROW FILTER ON THE RAW COLUMNS, BEFORE THE JSON ROUNDTRIP
+      // (round-6 fix): the old `.filter(col("has_big"))` over the parsed
+      // struct was pushed below the projection by Catalyst, so every row
+      // paid to_json+from_json TWICE (once in the pushed Filter, once in
+      // the Project — guide §4.4's duplicated-evaluation trap, JVM-side).
+      // `items` is an array of BIGINTs whose JSON write+parse roundtrip
+      // is lossless, so exists(items, >1000) pre-parse selects EXACTLY
+      // the rows whose parsed has_big is true — the emitted has_big
+      // column (always true on survivors, same as before) is still
+      // computed from the parsed struct.
+      o.filter(exists(items, x => x > 1000))
+        .select(to_json(struct(
           col("o_orderkey").cast("long").as("id"),
           col("o_orderpriority").as("prio"),
-          array(col("o_custkey").cast("long"),
-            pmod(col("o_orderkey"), lit(1000)).cast("long"),
-            length(col("o_orderstatus")).cast("long")).as("items"))).as("j"))
+          items.as("items"))).as("j"))
         .select(from_json(col("j"), jsonSchema).as("p"))
         .select(col("p.id").as("id"), col("p.prio").as("prio"),
           size(col("p.items")).cast("long").as("n_items"),
           aggregate(col("p.items"), lit(0L), (a, x) => a + x).as("items_sum"),
           exists(col("p.items"), x => x > 1000).as("has_big"))
-        .filter(col("has_big"))
         .orderBy(col("id"))
     }),
 

@@ -31,6 +31,13 @@ object Functions {
   def ngram_jaccard(a: Column, b: Column): Column =
     ColumnBridge.column(
       NgramJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def shingle_hashes(c: Column): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c)))
+  def jaccard_sorted(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      JaccardSorted(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def bigram_top_frac(c: Column): Column =
+    ColumnBridge.column(BigramTopFrac(ColumnBridge.expression(c)))
   def lang_id(c: Column): Column =
     ColumnBridge.column(LangId(ColumnBridge.expression(c)))
   def quality_score(c: Column): Column =
@@ -55,6 +62,12 @@ object Functions {
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "ngram_jaccard", exprs => NgramJaccard(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "jaccard_sorted", exprs => JaccardSorted(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "bigram_top_frac", exprs => BigramTopFrac(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "lang_id", exprs => LangId(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(

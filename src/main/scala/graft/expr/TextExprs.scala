@@ -42,6 +42,16 @@ object TextExprKernels {
   }
   def ngramJaccard(a: UTF8String, b: UTF8String): Double =
     TextHash.ngramJaccard(a.toString, b.toString)
+  def shingleHashes(s: UTF8String): ArrayData =
+    new GenericArrayData(TextHash.shingleHashes(s.toString))
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double =
+    TextHash.jaccardSorted(a.toLongArray(), b.toLongArray())
+  /** Lowercasing goes through UTF8String.toLowerCase — the SAME routine
+    * Spark's lower() uses — so the per-row kernel is byte-identical to
+    * the lower(text) the old explode route fed the bigram shuffle.
+    */
+  def bigramTopFrac(s: UTF8String): Double =
+    TextHash.topBigramFrac(s.toLowerCase.toString)
   def langId(s: UTF8String): UTF8String =
     UTF8String.fromString(TextHash.langId(s.toString))
   def quality(s: UTF8String): Double = TextHash.qualityScore(s.toString)
@@ -131,6 +141,49 @@ case class NgramJaccard(left: Expression, right: Expression)
       a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** shingle_hashes(text) -> array<bigint>: the SORTED DISTINCT 5-gram
+  * shingle hash set — the per-document half of ngram_jaccard, factored
+  * out so pair-quadratic consumers shingle each document once
+  * (ngramJaccardPairsExact) instead of once per pair.
+  */
+case class ShingleHashes(child: Expression) extends StaticUnary {
+  def staticFn = "shingleHashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName = "shingle_hashes"
+  override def nullSafeEval(v: Any): Any =
+    TextExprKernels.shingleHashes(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** jaccard_sorted(a, b) -> double over two shingle_hashes outputs;
+  * jaccard_sorted(shingle_hashes(a), shingle_hashes(b)) ==
+  * ngram_jaccard(a, b) by construction (same kernel halves).
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends StaticBinary {
+  def staticFn = "jaccardSorted"
+  override def dataType: DataType = DoubleType
+  override def prettyName = "jaccard_sorted"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextExprKernels.jaccardSorted(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** bigram_top_frac(text) -> double: the top word-bigram share of
+  * lower(text), computed per row (a document is one row — its bigram
+  * mode never needed the explode + (doc_id, bigram) shuffle).
+  */
+case class BigramTopFrac(child: Expression) extends StaticUnary {
+  def staticFn = "bigramTopFrac"
+  override def dataType: DataType = DoubleType
+  override def prettyName = "bigram_top_frac"
+  override def nullSafeEval(v: Any): Any =
+    TextExprKernels.bigramTopFrac(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
 /** lang_id(text) -> string (n-gram/stopword heuristic). */

@@ -92,22 +92,8 @@ object TextHash {
     * merge-intersection of the two sorted distinct arrays, zero
     * allocation beyond the shingle arrays themselves.
     */
-  def ngramJaccard(a: String, b: String): Double = {
-    val ha = shingleHashes(a)
-    val hb = shingleHashes(b)
-    if (ha.isEmpty && hb.isEmpty) return 1.0
-    if (ha.isEmpty || hb.isEmpty) return 0.0
-    var inter = 0
-    var i = 0
-    var j = 0
-    while (i < ha.length && j < hb.length) {
-      val x = ha(i); val y = hb(j)
-      if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    inter.toDouble / (ha.length + hb.length - inter)
-  }
+  def ngramJaccard(a: String, b: String): Double =
+    jaccardSorted(shingleHashes(a), shingleHashes(b))
 
   /** 64-bit SimHash over whitespace tokens: per-bit vote of token
     * hashes, weighted by token frequency.
@@ -140,6 +126,74 @@ object TextHash {
     var bit = 0
     while (bit < 64) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }
     out
+  }
+
+  /** Share of the most frequent word BIGRAM among all bigrams of the
+    * lowercased whitespace-token stream, rounded at 1e-6 (rint) — the
+    * repetition signal computed PER ROW instead of via an explode +
+    * (doc_id, bigram) shuffle: a document is one row, so its bigram mode
+    * never needed cross-row grouping (round-6 optimization; the oracle
+    * SQL is unchanged — this must equal max(c)/sum(c) over the grouped
+    * bigrams exactly).
+    *
+    * `lowered` must already be the engine's lower() output (the caller
+    * lowercases via UTF8String.toLowerCase so Spark and kernel agree
+    * byte-for-byte). Tokens: split on \s+ (Java regex, same as
+    * split(text, "\\s+")), empties dropped; bigram = tokens(i) + " " +
+    * tokens(i+1). < 2 tokens -> 0.0 (the old left-join null -> coalesce).
+    * Sort + run-length scan: exact counts, no hash-collision risk.
+    */
+  def topBigramFrac(lowered: String): Double = {
+    if (lowered == null) return 0.0
+    val raw = lowered.split("\\s+", -1)
+    var n = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) n += 1; i += 1 }
+    if (n < 2) return 0.0
+    val words = new Array[String](n)
+    var w = 0
+    i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) { words(w) = raw(i); w += 1 }
+      i += 1
+    }
+    val total = n - 1
+    val bigrams = new Array[String](total)
+    i = 0
+    while (i < total) { bigrams(i) = words(i) + " " + words(i + 1); i += 1 }
+    java.util.Arrays.sort(bigrams.asInstanceOf[Array[AnyRef]])
+    var maxC = 0
+    var run = 1
+    i = 1
+    while (i < total) {
+      if (bigrams(i) == bigrams(i - 1)) run += 1
+      else { if (run > maxC) maxC = run; run = 1 }
+      i += 1
+    }
+    if (run > maxC) maxC = run
+    math.rint(maxC.toDouble / total * 1e6) / 1e6
+  }
+
+  /** Jaccard of two SORTED DISTINCT shingle-hash arrays (the
+    * shingleHashes output contract) — the merge half of ngramJaccard
+    * factored out so a pair-heavy consumer (the quadratic exact baseline)
+    * shingles each document ONCE and intersects per pair, instead of
+    * re-shingling both texts for every pair. Same empty-set semantics as
+    * ngramJaccard: both empty -> 1.0, one empty -> 0.0.
+    */
+  def jaccardSorted(ha: Array[Long], hb: Array[Long]): Double = {
+    if (ha.isEmpty && hb.isEmpty) return 1.0
+    if (ha.isEmpty || hb.isEmpty) return 0.0
+    var inter = 0
+    var i = 0
+    var j = 0
+    while (i < ha.length && j < hb.length) {
+      val x = ha(i); val y = hb(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (ha.length + hb.length - inter)
   }
 
   // --- language ID (n-gram/stopword heuristic) --------------------------
