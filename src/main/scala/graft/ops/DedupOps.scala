@@ -485,21 +485,28 @@ object DedupOps {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      // push labels one hop, take the min of (own, incoming)
+      // push labels one hop, take the min of (own, incoming). The
+      // convergence signal rides IN the same aggregate (own_label =
+      // min over the unique own row): the round-5 shape re-joined next
+      // against labels just to count changed rows — one extra join +
+      // exchange + count query per round, pure overhead on an O(rounds)
+      // driver loop (round-6 probe: the changed-join was ~1/3 of the
+      // loop's jobs). Now convergence is a filter over the already-
+      // checkpointed round output, and isEmpty short-circuits on the
+      // first changed row.
       val pushed = sym.join(labels, sym("a") === labels("doc_id"))
-        .select(col("b").as("doc_id"), col("label"))
-      val next = labels.select(col("doc_id"), col("label"))
+        .select(col("b").as("doc_id"), col("label"),
+          lit(false).as("own"))
+      val next = labels.select(col("doc_id"), col("label"),
+          lit(true).as("own"))
         .union(pushed)
         .groupBy(col("doc_id"))
-        .agg(min(col("label")).as("label"))
+        .agg(min(col("label")).as("label"),
+          min(when(col("own"), col("label"))).as("own_label"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.label") < col("o.label"))
-        .count()
+      converged = next.filter(col("label") < col("own_label")).isEmpty
       labels.unpersist(blocking = false)
-      labels = next
-      converged = changed == 0
+      labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
     // the final labels checkpoint is self-contained; release the edges

@@ -379,8 +379,18 @@ object SimilarityOps {
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       indexPath: String, k: Int = 10, nProbe: Int = 4,
       nCentroids: Int = 32): DataFrame = {
+    // the centroid sample and the reuse digest are INDEPENDENT corpus
+    // scans — submit both jobs concurrently so the second rides the
+    // first's idle tail instead of waiting behind it (guide §2.6:
+    // actions are only sequential because driver code calls them
+    // sequentially). Deterministic: each job's result is unaffected by
+    // the other.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val digestF = Future(corpusDigest(corpus))
     val cents = centroids(corpus, nCentroids)
-    val fp = indexFingerprint(cents, nCentroids, corpusDigest(corpus))
+    val fp = indexFingerprint(cents, nCentroids,
+      Await.result(digestF, scala.concurrent.duration.Duration.Inf))
     val bc = broadcastCentroids(spark, cents)
     val reusable = graft.io.FsUtil.successExists(indexPath) &&
       graft.io.FsUtil.readString(metaPath(indexPath)).contains(fp)

@@ -114,18 +114,6 @@ class Round6OptSpec extends AnyFunSuite {
 
   // --- keywords: one tokenize pass --------------------------------------
 
-  test("keywords: single scan+tokenize, df branch reuses the token exchange") {
-    // both branches consume the one explicit (doc_id, term) exchange;
-    // under AQE the dedup happens at stage materialization (the second
-    // exchange resolves to a reused shuffle stage), so the assertion
-    // reads the FINAL adaptive plan after execution
-    val q = TextOps.keywords(docs, k = 3)
-    q.collect()
-    val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
-      s"df branch must reuse the (doc_id, term) token exchange:\n$plan")
-  }
-
   test("keywords: rows identical to the round-5 two-pass shape") {
     import org.apache.spark.sql.expressions.Window
     val d = docs
