@@ -188,6 +188,13 @@ object SparkEntry {
         sum(abs(length(col("pred")) - length(col("ref"))).cast("long"))
           .as("len_delta"))
         .withColumn("acc", col("n_exact").cast("double") / col("n"))
+        // g is <= nVariants rows at ANY corpus scale; materialize it so
+        // the best-of side reads these rows instead of re-running the
+        // whole N-way join+union subtree (round-6 plan audit: the two
+        // copies canonicalize differently — a nullability asymmetry —
+        // so neither ReuseExchange nor AQE stage reuse deduped them and
+        // every dump scan + join ran TWICE)
+        .localCheckpoint(true)
       // best-of via a 1-row aggregate + broadcast cross-join, NOT an
       // unpartitioned window (the single-partition WindowExec warning
       // was the one warning the round-2 driver log showed)

@@ -334,20 +334,34 @@ object SimilarityOps {
     * centroids, append into the partitioned data dir, merge the digest —
     * the existing corpus is never rescanned (the dd_incremental pattern
     * for the similarity family).
+    *
+    * Crash/replay contract (round-5 ADVICE): the data append and the
+    * meta update are two steps, so a caller that RETRIES after success
+    * must not append the batch twice. The meta records each appended
+    * batch's own digest on `batch:` lines; a replayed batch (same
+    * digest) is detected and skipped idempotently. The remaining window
+    * — a failure BETWEEN the data write and the meta write — leaves the
+    * combined digest behind the data, which `ivfIndexedMatches` then
+    * reports as a mismatch: the documented recovery is a rebuild
+    * (buildIvfIndexed), never trusting a half-committed append.
     */
   def ivfAppendIndexed(spark: SparkSession, indexPath: String,
       newVecs: DataFrame): Unit = {
+    val meta = graft.io.FsUtil.readString(idxMetaPath(indexPath)).getOrElse(
+      throw new IllegalStateException(
+        s"no index meta at $indexPath — build before appending"))
+    val lines = meta.linesIterator.toSeq
+    val batchDigest = digestString(rawDigest(newVecs))
+    if (lines.exists(_ == s"batch:$batchDigest")) return // replayed append
+    val old = parseDigest(lines.head)
     val bc = broadcastCentroids(spark, loadCents(spark, indexPath))
     newVecs.select(col("vec_id"), col("embedding"))
       .withColumn("centroid_id", nearestCentroid(col("embedding"), bc))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$indexPath/data")
-    val old = parseDigest(
-      graft.io.FsUtil.readString(idxMetaPath(indexPath)).getOrElse(
-        throw new IllegalStateException(
-          s"no index meta at $indexPath — build before appending")))
     graft.io.FsUtil.writeString(idxMetaPath(indexPath),
-      digestString(combineDigest(old, rawDigest(newVecs))))
+      (digestString(combineDigest(old, parseDigest(batchDigest))) +:
+        (lines.tail :+ s"batch:$batchDigest")).mkString("\n"))
   }
 
   /** True iff the index digest matches `corpus` — the freshness check a
@@ -355,6 +369,8 @@ object SimilarityOps {
     */
   def ivfIndexedMatches(indexPath: String, corpus: DataFrame): Boolean =
     graft.io.FsUtil.readString(idxMetaPath(indexPath))
+      // line 1 is the combined digest; batch: lines follow (append log)
+      .map(_.linesIterator.next())
       .contains(digestString(rawDigest(corpus)))
 
   /** Probe the self-describing index — no corpus argument: centroids and

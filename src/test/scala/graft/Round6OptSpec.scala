@@ -196,6 +196,29 @@ class Round6OptSpec extends AnyFunSuite {
     assert(q.count() > 0)
   }
 
+  // --- IVF append: replayed batch detected and skipped ------------------
+
+  test("ivfAppendIndexed: replaying the same batch is an idempotent no-op") {
+    import graft.ops.SimilarityOps
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_r6_ivf_replay").toString + "/index"
+    val existing = embs.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = embs.filter(pmod(col("vec_id"), lit(5)) === 0)
+    SimilarityOps.buildIvfIndexed(spark, existing, base, nCentroids = 4)
+    SimilarityOps.ivfAppendIndexed(spark, base, batch)
+    val meta1 = graft.io.FsUtil.readString(s"$base/_graft_ivf_idx_meta").get
+    val rows1 = spark.read.parquet(s"$base/data").count()
+    assert(SimilarityOps.ivfIndexedMatches(base, embs))
+    // a retried append of the SAME batch must not duplicate its rows
+    SimilarityOps.ivfAppendIndexed(spark, base, batch)
+    assert(graft.io.FsUtil.readString(s"$base/_graft_ivf_idx_meta").get
+      == meta1, "meta must be unchanged on replay")
+    assert(spark.read.parquet(s"$base/data").count() == rows1,
+      "data must be unchanged on replay")
+    assert(SimilarityOps.ivfIndexedMatches(base, embs))
+  }
+
   // --- incremental dedup cache wrapper ----------------------------------
 
   test("runIncrementalMinhashCandidates: same pairs, sig cache released") {
